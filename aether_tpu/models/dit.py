@@ -1,0 +1,356 @@
+"""CogVideoX-class diffusion transformer (DiT), functional JAX implementation.
+
+The architecture mirrors the upstream CogVideoXTransformer3DModel consumed by the
+reference (loaded at ``scripts/demo.py:223-227``; knobs read at
+``aetherv1_pipeline_cogvideox.py:307-345,728,808,815``), with the AetherV1 widening:
+96 input channels (56 noisy + 40 condition) and 56 output channels.
+
+Structure per block (joint text+video token stream, text tokens first):
+  adaLN-Zero norm (separate shift/scale/gate for text and video) ->
+  joint self-attention with per-head QK LayerNorm and 3D RoPE on video tokens ->
+  gated residual -> second adaLN-Zero -> 4x GELU(tanh) MLP -> gated residual.
+Final: LayerNorm over the joint stream, AdaLN (shift/scale) on the video part,
+linear head to patch_size^2 * out_channels, unpatchify.
+
+TPU-native design choices:
+- all 42 blocks are *stacked* along a leading axis and executed with a single
+  ``jax.lax.scan`` — one traced block, fast compiles, identical runtime math;
+- 2x2 patchify/unpatchify are expressed as reshapes + one matmul (kernel==stride)
+  so the embedding lands on the MXU instead of a conv;
+- LayerNorms and softmax statistics run in f32; matmuls in bf16 with f32
+  accumulation; the attention inner loop is the Pallas flash kernel
+  (``aether_tpu.ops.flash_attention``) with an XLA fallback for CPU tests.
+
+Parameters are a plain nested dict of arrays; linear weights use [in, out] layout
+(converters from torch checkpoints transpose).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aether_tpu.config import DiTConfig
+from aether_tpu.ops.flash_attention import attention_reference, flash_attention
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal embedding, [B] -> [B, dim] (f32)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    return emb
+
+
+def layer_norm(
+    x: jnp.ndarray,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """LayerNorm over the last axis in f32; returns x's dtype."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def apply_rotary_emb(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Interleaved-pair rotation. x: [B, H, S, D]; cos/sin: [S, D]."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    x_pairs = xf.reshape(*xf.shape[:-1], -1, 2)
+    x_rot = jnp.stack([-x_pairs[..., 1], x_pairs[..., 0]], axis=-1)
+    x_rot = x_rot.reshape(xf.shape)
+    out = xf * cos[None, None] + x_rot * sin[None, None]
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, d_in: int, d_out: int, dtype=jnp.float32):
+    scale = 1.0 / math.sqrt(d_in)
+    kw, kb = jax.random.split(key)
+    return (
+        jax.random.uniform(kw, (d_in, d_out), dtype, -scale, scale),
+        jax.random.uniform(kb, (d_out,), dtype, -scale, scale),
+    )
+
+
+def init_dit_params(key: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> Params:
+    """Random-init parameters with the exact checkpoint tensor topology."""
+    d = cfg.hidden_size
+    p = cfg.patch_size
+    keys = iter(jax.random.split(key, 64))
+
+    patch_in = cfg.in_channels * p * p
+    proj_w, proj_b = _dense_init(next(keys), patch_in, d, dtype)
+    text_w, text_b = _dense_init(next(keys), cfg.text_embed_dim, d, dtype)
+
+    t_w1, t_b1 = _dense_init(next(keys), d, cfg.time_embed_dim, dtype)
+    t_w2, t_b2 = _dense_init(next(keys), cfg.time_embed_dim, cfg.time_embed_dim, dtype)
+
+    def block_params(bkey):
+        bkeys = iter(jax.random.split(bkey, 16))
+        n1_w, n1_b = _dense_init(next(bkeys), cfg.time_embed_dim, 6 * d, dtype)
+        n2_w, n2_b = _dense_init(next(bkeys), cfg.time_embed_dim, 6 * d, dtype)
+        q_w, q_b = _dense_init(next(bkeys), d, d, dtype)
+        k_w, k_b = _dense_init(next(bkeys), d, d, dtype)
+        v_w, v_b = _dense_init(next(bkeys), d, d, dtype)
+        o_w, o_b = _dense_init(next(bkeys), d, d, dtype)
+        f_w1, f_b1 = _dense_init(next(bkeys), d, cfg.mlp_dim, dtype)
+        f_w2, f_b2 = _dense_init(next(bkeys), cfg.mlp_dim, d, dtype)
+        return {
+            "norm1": {"w": n1_w, "b": n1_b,
+                      "ln_scale": jnp.ones((d,), dtype), "ln_bias": jnp.zeros((d,), dtype)},
+            "norm2": {"w": n2_w, "b": n2_b,
+                      "ln_scale": jnp.ones((d,), dtype), "ln_bias": jnp.zeros((d,), dtype)},
+            "attn": {
+                "q_w": q_w, "q_b": q_b, "k_w": k_w, "k_b": k_b,
+                "v_w": v_w, "v_b": v_b, "o_w": o_w, "o_b": o_b,
+                "norm_q_scale": jnp.ones((cfg.head_dim,), dtype),
+                "norm_q_bias": jnp.zeros((cfg.head_dim,), dtype),
+                "norm_k_scale": jnp.ones((cfg.head_dim,), dtype),
+                "norm_k_bias": jnp.zeros((cfg.head_dim,), dtype),
+            },
+            "mlp": {"w1": f_w1, "b1": f_b1, "w2": f_w2, "b2": f_b2},
+        }
+
+    block_keys = jax.random.split(next(keys), cfg.num_layers)
+    blocks = jax.vmap(block_params)(block_keys)
+
+    out_w, out_b = _dense_init(next(keys), d, p * p * cfg.out_channels, dtype)
+    ada_w, ada_b = _dense_init(next(keys), cfg.time_embed_dim, 2 * d, dtype)
+
+    return {
+        "patch_embed": {
+            "proj_w": proj_w, "proj_b": proj_b, "text_w": text_w, "text_b": text_b,
+        },
+        "time_embed": {"w1": t_w1, "b1": t_b1, "w2": t_w2, "b2": t_b2},
+        "blocks": blocks,
+        "norm_final": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        "norm_out": {
+            "w": ada_w, "b": ada_b,
+            "ln_scale": jnp.ones((d,), dtype), "ln_bias": jnp.zeros((d,), dtype),
+        },
+        "proj_out": {"w": out_w, "b": out_b},
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _ada_modulate(
+    x: jnp.ndarray,
+    enc: jnp.ndarray,
+    temb: jnp.ndarray,
+    norm_p: Params,
+    eps: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CogVideoXLayerNormZero: LN + per-stream shift/scale; returns gates too."""
+    ada = _linear(jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype),
+                  norm_p["w"], norm_p["b"]).astype(jnp.float32)
+    shift, scale, gate, e_shift, e_scale, e_gate = jnp.split(ada, 6, axis=-1)
+    x_n = layer_norm(x, norm_p["ln_scale"], norm_p["ln_bias"], eps)
+    x_n = (x_n.astype(jnp.float32) * (1 + scale[:, None]) + shift[:, None]).astype(x.dtype)
+    e_n = layer_norm(enc, norm_p["ln_scale"], norm_p["ln_bias"], eps)
+    e_n = (e_n.astype(jnp.float32) * (1 + e_scale[:, None]) + e_shift[:, None]).astype(enc.dtype)
+    return x_n, e_n, gate[:, None], e_gate[:, None]
+
+
+def _attention(
+    attn_p: Params,
+    hidden: jnp.ndarray,
+    enc: jnp.ndarray,
+    rope_cos: Optional[jnp.ndarray],
+    rope_sin: Optional[jnp.ndarray],
+    cfg: DiTConfig,
+    attn_impl: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    text_len = enc.shape[1]
+    x = jnp.concatenate([enc, hidden], axis=1)  # text first
+    b, s, _ = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    def qkv(w, bias, norm_scale, norm_bias):
+        y = _linear(x, w, bias).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        return layer_norm(y, norm_scale, norm_bias, cfg.qk_norm_eps)
+
+    q = qkv(attn_p["q_w"], attn_p["q_b"], attn_p["norm_q_scale"], attn_p["norm_q_bias"])
+    k = qkv(attn_p["k_w"], attn_p["k_b"], attn_p["norm_k_scale"], attn_p["norm_k_bias"])
+    v = _linear(x, attn_p["v_w"], attn_p["v_b"]).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+
+    if rope_cos is not None:
+        q_vid = apply_rotary_emb(q[:, :, text_len:], rope_cos, rope_sin)
+        k_vid = apply_rotary_emb(k[:, :, text_len:], rope_cos, rope_sin)
+        q = jnp.concatenate([q[:, :, :text_len], q_vid], axis=2)
+        k = jnp.concatenate([k[:, :, :text_len], k_vid], axis=2)
+
+    if attn_impl == "flash":
+        attn = flash_attention(q, k, v)
+    elif attn_impl == "flash_interpret":
+        attn = flash_attention(q, k, v, interpret=True)
+    else:
+        attn = attention_reference(q, k, v)
+
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+    out = _linear(attn, attn_p["o_w"], attn_p["o_b"])
+    return out[:, text_len:], out[:, :text_len]
+
+
+def _patchify(
+    x: jnp.ndarray, proj_w: jnp.ndarray, proj_b: jnp.ndarray, p: int
+) -> jnp.ndarray:
+    """[B, F, C, H, W] -> [B, F*(H/p)*(W/p), D] via reshape + matmul.
+
+    The token feature layout matches a torch Conv2d(k=p, s=p) with weight
+    [D, C, p, p]: channel-major, then kernel rows, then kernel cols.
+    """
+    b, f, c, h, w = x.shape
+    hp, wp = h // p, w // p
+    x = x.reshape(b, f, c, hp, p, wp, p)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6)  # (b, f, hp, wp, c, p, p)
+    x = x.reshape(b, f * hp * wp, c * p * p)
+    return _linear(x, proj_w, proj_b)
+
+
+def _unpatchify(
+    tokens: jnp.ndarray, f: int, hp: int, wp: int, c_out: int, p: int
+) -> jnp.ndarray:
+    """[B, F*hp*wp, p*p*c_out] -> [B, F, c_out, hp*p, wp*p] (channel-major head)."""
+    b = tokens.shape[0]
+    x = tokens.reshape(b, f, hp, wp, c_out, p, p)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6)  # (b, f, c, hp, p, wp, p)
+    return x.reshape(b, f, c_out, hp * p, wp * p)
+
+
+def dit_forward(
+    params: Params,
+    cfg: DiTConfig,
+    hidden_states: jnp.ndarray,
+    encoder_hidden_states: jnp.ndarray,
+    timestep: jnp.ndarray,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    attn_impl: str = "flash",
+) -> jnp.ndarray:
+    """Denoiser forward.
+
+    Args:
+        hidden_states: [B, F, C_in, H_lat, W_lat] packed noisy+condition latents.
+        encoder_hidden_states: [B, S_text, text_embed_dim] (the cached empty-prompt
+            T5 embedding in the Aether pipeline).
+        timestep: [B] diffusion timesteps.
+        rope_cos / rope_sin: (S_video, head_dim) tables or None.
+    Returns:
+        [B, F, C_out, H_lat, W_lat] model prediction (v-prediction).
+    """
+    b, f, _, h, w = hidden_states.shape
+    p = cfg.patch_size
+    hp, wp = h // p, w // p
+    compute_dtype = hidden_states.dtype
+
+    # 1. time embedding: sinusoid(hidden) -> MLP -> [B, time_embed_dim]
+    t_emb = timestep_embedding(
+        timestep, cfg.hidden_size, cfg.flip_sin_to_cos, cfg.freq_shift
+    ).astype(compute_dtype)
+    te = params["time_embed"]
+    temb = _linear(jax.nn.silu(_linear(t_emb, te["w1"], te["b1"]).astype(jnp.float32))
+                   .astype(compute_dtype), te["w2"], te["b2"])
+
+    # 2. patch + text embedding
+    pe = params["patch_embed"]
+    video_tokens = _patchify(hidden_states, pe["proj_w"], pe["proj_b"], p)
+    text_tokens = _linear(
+        encoder_hidden_states.astype(compute_dtype), pe["text_w"], pe["text_b"]
+    )
+
+    rc = None if rope_cos is None else jnp.asarray(rope_cos, jnp.float32)
+    rs = None if rope_sin is None else jnp.asarray(rope_sin, jnp.float32)
+
+    # 3. transformer blocks under lax.scan over stacked params
+    def block_body(carry, block_p):
+        hid, enc = carry
+        h_n, e_n, gate, e_gate = _ada_modulate(
+            hid, enc, temb, block_p["norm1"], cfg.norm_eps
+        )
+        attn_h, attn_e = _attention(
+            block_p["attn"], h_n, e_n, rc, rs, cfg, attn_impl
+        )
+        hid = hid + (gate * attn_h.astype(jnp.float32)).astype(hid.dtype)
+        enc = enc + (e_gate * attn_e.astype(jnp.float32)).astype(enc.dtype)
+
+        h_n, e_n, gate, e_gate = _ada_modulate(
+            hid, enc, temb, block_p["norm2"], cfg.norm_eps
+        )
+        joint = jnp.concatenate([e_n, h_n], axis=1)
+        m = block_p["mlp"]
+        ff = _linear(joint, m["w1"], m["b1"])
+        ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=True).astype(ff.dtype)
+        ff = _linear(ff, m["w2"], m["b2"])
+        text_len = enc.shape[1]
+        hid = hid + (gate * ff[:, text_len:].astype(jnp.float32)).astype(hid.dtype)
+        enc = enc + (e_gate * ff[:, :text_len].astype(jnp.float32)).astype(enc.dtype)
+        return (hid, enc), None
+
+    (video_tokens, text_tokens), _ = jax.lax.scan(
+        block_body, (video_tokens, text_tokens), params["blocks"]
+    )
+
+    # 4. final norm over the joint stream, AdaLN on video part, project, unpatchify
+    joint = jnp.concatenate([text_tokens, video_tokens], axis=1)
+    nf = params["norm_final"]
+    joint = layer_norm(joint, nf["scale"], nf["bias"], cfg.norm_eps)
+    x = joint[:, text_tokens.shape[1]:]
+
+    no = params["norm_out"]
+    ada = _linear(jax.nn.silu(temb.astype(jnp.float32)).astype(compute_dtype),
+                  no["w"], no["b"]).astype(jnp.float32)
+    shift, scale = jnp.split(ada, 2, axis=-1)
+    x = layer_norm(x, no["ln_scale"], no["ln_bias"], cfg.norm_eps)
+    x = (x.astype(jnp.float32) * (1 + scale[:, None]) + shift[:, None]).astype(
+        compute_dtype
+    )
+    x = _linear(x, params["proj_out"]["w"], params["proj_out"]["b"])
+
+    return _unpatchify(x, f, hp, wp, cfg.out_channels, p)

@@ -1,0 +1,371 @@
+"""Causal 3D video VAE (AutoencoderKLCogVideoX equivalent) in functional JAX.
+
+Mirrors the upstream VAE the reference loads (``scripts/demo.py:215-219``; knobs
+read at ``aetherv1_pipeline_cogvideox.py:535-541,571,843,925``): 8x spatial / 4x
+temporal compression, 16 latent channels, temporally-causal convolutions (front
+padding replicates the first frame), first-frame-preserving temporal pooling /
+upsampling, and a MoVQ-style spatially-modulated GroupNorm (zq conditioning) in the
+decoder.
+
+TPU-native design:
+- channels-last [B, T, H, W, C] layout everywhere; conv kernels are DHWIO so XLA
+  lowers straight to MXU convolutions;
+- GroupNorm statistics in f32 over (T, H, W, C/g), matching torch GroupNorm on a
+  5D clip;
+- 1x1x1 convolutions (shortcuts, zq modulators) are expressed as matmuls;
+- pure functions throughout — encode/decode jit and shard with the pipeline.
+
+Parameter tree mirrors the checkpoint topology so a safetensors converter is a
+transpose-only mapping.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aether_tpu.config import VAEConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _conv3d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    stride: Tuple[int, int, int] = (1, 1, 1),
+    padding=((0, 0), (0, 0), (0, 0)),
+) -> jnp.ndarray:
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def causal_conv3d(
+    x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
+    stride: Tuple[int, int, int] = (1, 1, 1),
+) -> jnp.ndarray:
+    """Conv3d with replicate-first-frame temporal padding + zero spatial padding."""
+    kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+    if kt > 1:
+        front = jnp.repeat(x[:, :1], kt - 1, axis=1)
+        x = jnp.concatenate([front, x], axis=1)
+    pad_h, pad_w = kh // 2, kw // 2
+    return _conv3d(
+        x, w, b, stride, padding=((0, 0), (pad_h, pad_h), (pad_w, pad_w))
+    )
+
+
+def _pointwise(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """1x1x1 conv as a matmul; w: (1,1,1,in,out) or (in,out)."""
+    w2 = w.reshape(w.shape[-2], w.shape[-1])
+    out = jnp.dot(x, w2.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def group_norm(
+    x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, groups: int, eps: float
+) -> jnp.ndarray:
+    """GroupNorm over (T, H, W, C/g) per (batch, group) — torch 5D semantics."""
+    btype = x.dtype
+    b, t, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, t, h, w, groups, c // groups)
+    mean = jnp.mean(xf, axis=(1, 2, 3, 5), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3, 5), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, t, h, w, c)
+    return (xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(btype)
+
+
+def _nearest_resize(z: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """torch-style nearest resize of [B, T, H, W, C] to (t, h, w): idx = floor(i*in/out)."""
+    for axis, out_n in zip((1, 2, 3), shape):
+        in_n = z.shape[axis]
+        if in_n != out_n:
+            idx = (jnp.arange(out_n) * in_n // out_n).astype(jnp.int32)
+            z = jnp.take(z, idx, axis=axis)
+    return z
+
+
+def _nearest_resize_temporal_aware(zq: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
+    """Nearest-resize zq to (t, h, w) with the first-frame split used upstream."""
+    if zq.shape[1] > 1 and t % 2 == 1 and t > 1:
+        z_first = _nearest_resize(zq[:, :1], (1, h, w))
+        z_rest = _nearest_resize(zq[:, 1:], (t - 1, h, w))
+        return jnp.concatenate([z_first, z_rest], axis=1)
+    return _nearest_resize(zq, (t, h, w))
+
+
+def spatial_norm3d(
+    f: jnp.ndarray, zq: jnp.ndarray, p: Params, groups: int, eps: float
+) -> jnp.ndarray:
+    """MoVQ spatial norm: GroupNorm(f) * conv_y(zq) + conv_b(zq)."""
+    _, t, h, w, _ = f.shape
+    zq = _nearest_resize_temporal_aware(zq, t, h, w)
+    norm_f = group_norm(f, p["norm_scale"], p["norm_bias"], groups, eps)
+    return norm_f * _pointwise(zq, p["conv_y_w"], p["conv_y_b"]) + _pointwise(
+        zq, p["conv_b_w"], p["conv_b_b"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+
+def _resnet3d(
+    x: jnp.ndarray,
+    p: Params,
+    cfg: VAEConfig,
+    zq: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """CogVideoX 3D resnet block; decoder blocks modulate norms with zq."""
+    groups, eps = cfg.norm_num_groups, cfg.norm_eps
+
+    def norm(h, np_):
+        if zq is None:
+            return group_norm(h, np_["norm_scale"], np_["norm_bias"], groups, eps)
+        return spatial_norm3d(h, zq, np_, groups, eps)
+
+    h = norm(x, p["norm1"])
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
+    h = causal_conv3d(h, p["conv1_w"], p["conv1_b"])
+    h = norm(h, p["norm2"])
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
+    h = causal_conv3d(h, p["conv2_w"], p["conv2_b"])
+
+    if "shortcut_w" in p:
+        x = _pointwise(x, p["shortcut_w"], p["shortcut_b"])
+    return x + h
+
+
+def _downsample3d(x: jnp.ndarray, p: Params, compress_time: bool) -> jnp.ndarray:
+    """Temporal pair-average (first frame kept when odd) + spatial s2 conv."""
+    if compress_time:
+        t = x.shape[1]
+        if t % 2 == 1 and t > 1:
+            x_first, x_rest = x[:, :1], x[:, 1:]
+            x_rest = (x_rest[:, 0::2] + x_rest[:, 1::2]) * 0.5
+            x = jnp.concatenate([x_first, x_rest], axis=1)
+        elif t > 1:
+            x = (x[:, 0::2] + x[:, 1::2]) * 0.5
+    # spatial: asymmetric (0,1) pad then k3 s2 conv, applied per frame
+    w = p["conv_w"]  # (1, 3, 3, in, out) stored with a leading time dim of 1
+    return _conv3d(
+        x, w, p["conv_b"], stride=(1, 2, 2), padding=((0, 0), (0, 1), (0, 1))
+    )
+
+
+def _upsample3d(x: jnp.ndarray, p: Params, compress_time: bool) -> jnp.ndarray:
+    """Nearest 2x upsample (first-frame-preserving temporally) + k3 conv."""
+    b, t, h, w, c = x.shape
+
+    if compress_time:
+        if t > 1 and t % 2 == 1:
+            x_first = _nearest_resize(x[:, :1], (1, 2 * h, 2 * w))
+            x_rest = _nearest_resize(x[:, 1:], (2 * (t - 1), 2 * h, 2 * w))
+            x = jnp.concatenate([x_first, x_rest], axis=1)
+        elif t > 1:
+            x = _nearest_resize(x, (2 * t, 2 * h, 2 * w))
+        else:
+            x = _nearest_resize(x, (1, 2 * h, 2 * w))
+    else:
+        x = _nearest_resize(x, (t, 2 * h, 2 * w))
+    return _conv3d(
+        x, p["conv_w"], p["conv_b"], stride=(1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, kt, kh, kw, cin, cout, dtype):
+    fan_in = kt * kh * kw * cin
+    scale = 1.0 / math.sqrt(fan_in)
+    kw_, kb_ = jax.random.split(key)
+    return (
+        jax.random.uniform(kw_, (kt, kh, kw, cin, cout), dtype, -scale, scale),
+        jax.random.uniform(kb_, (cout,), dtype, -scale, scale),
+    )
+
+
+def _resnet_init(key, cin, cout, cfg: VAEConfig, zq_ch: Optional[int], dtype):
+    keys = iter(jax.random.split(key, 8))
+    p: Params = {}
+
+    def norm_init(k, ch):
+        if zq_ch is None:
+            return {"norm_scale": jnp.ones((ch,), dtype), "norm_bias": jnp.zeros((ch,), dtype)}
+        y_w, y_b = _conv_init(k, 1, 1, 1, zq_ch, ch, dtype)
+        k2 = jax.random.fold_in(k, 1)
+        b_w, b_b = _conv_init(k2, 1, 1, 1, zq_ch, ch, dtype)
+        return {
+            "norm_scale": jnp.ones((ch,), dtype), "norm_bias": jnp.zeros((ch,), dtype),
+            "conv_y_w": y_w, "conv_y_b": y_b, "conv_b_w": b_w, "conv_b_b": b_b,
+        }
+
+    p["norm1"] = norm_init(next(keys), cin)
+    p["conv1_w"], p["conv1_b"] = _conv_init(next(keys), 3, 3, 3, cin, cout, dtype)
+    p["norm2"] = norm_init(next(keys), cout)
+    p["conv2_w"], p["conv2_b"] = _conv_init(next(keys), 3, 3, 3, cout, cout, dtype)
+    if cin != cout:
+        sw, sb = _conv_init(next(keys), 1, 1, 1, cin, cout, dtype)
+        p["shortcut_w"], p["shortcut_b"] = sw, sb
+    return p
+
+
+def init_vae_params(key: jax.Array, cfg: VAEConfig, dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(key, 128))
+    chs = cfg.block_out_channels
+    lat = cfg.latent_channels
+    tcl = cfg.temporal_compress_level
+
+    # ---------------- encoder ----------------
+    enc: Params = {}
+    enc["conv_in_w"], enc["conv_in_b"] = _conv_init(
+        next(keys), 3, 3, 3, cfg.in_channels, chs[0], dtype
+    )
+    down = []
+    ch_in = chs[0]
+    for i, ch_out in enumerate(chs):
+        block: Params = {"resnets": []}
+        for j in range(cfg.layers_per_block):
+            block["resnets"].append(
+                _resnet_init(next(keys), ch_in if j == 0 else ch_out, ch_out, cfg, None, dtype)
+            )
+        if i < len(chs) - 1:
+            cw, cb = _conv_init(next(keys), 1, 3, 3, ch_out, ch_out, dtype)
+            block["downsampler"] = {"conv_w": cw, "conv_b": cb}
+        down.append(block)
+        ch_in = ch_out
+    enc["down_blocks"] = down
+    enc["mid"] = [
+        _resnet_init(next(keys), chs[-1], chs[-1], cfg, None, dtype) for _ in range(2)
+    ]
+    enc["norm_out_scale"] = jnp.ones((chs[-1],), dtype)
+    enc["norm_out_bias"] = jnp.zeros((chs[-1],), dtype)
+    enc["conv_out_w"], enc["conv_out_b"] = _conv_init(
+        next(keys), 3, 3, 3, chs[-1], 2 * lat, dtype
+    )
+
+    # ---------------- decoder ----------------
+    dec: Params = {}
+    rev = list(reversed(chs))
+    dec["conv_in_w"], dec["conv_in_b"] = _conv_init(next(keys), 3, 3, 3, lat, rev[0], dtype)
+    dec["mid"] = [
+        _resnet_init(next(keys), rev[0], rev[0], cfg, lat, dtype) for _ in range(2)
+    ]
+    up = []
+    ch_in = rev[0]
+    for i, ch_out in enumerate(rev):
+        block = {"resnets": []}
+        for j in range(cfg.layers_per_block + 1):
+            block["resnets"].append(
+                _resnet_init(next(keys), ch_in if j == 0 else ch_out, ch_out, cfg, lat, dtype)
+            )
+        if i < len(rev) - 1:
+            cw, cb = _conv_init(next(keys), 1, 3, 3, ch_out, ch_out, dtype)
+            block["upsampler"] = {"conv_w": cw, "conv_b": cb}
+        up.append(block)
+        ch_in = ch_out
+    dec["up_blocks"] = up
+    ns_w, ns_b = _conv_init(next(keys), 1, 1, 1, lat, rev[-1], dtype)
+    nb_w, nb_b = _conv_init(next(keys), 1, 1, 1, lat, rev[-1], dtype)
+    dec["norm_out"] = {
+        "norm_scale": jnp.ones((rev[-1],), dtype),
+        "norm_bias": jnp.zeros((rev[-1],), dtype),
+        "conv_y_w": ns_w, "conv_y_b": ns_b, "conv_b_w": nb_w, "conv_b_b": nb_b,
+    }
+    dec["conv_out_w"], dec["conv_out_b"] = _conv_init(
+        next(keys), 3, 3, 3, rev[-1], cfg.out_channels, dtype
+    )
+
+    return {"encoder": enc, "decoder": dec}
+
+
+# ---------------------------------------------------------------------------
+# encode / decode
+# ---------------------------------------------------------------------------
+
+
+def vae_encode(
+    params: Params,
+    cfg: VAEConfig,
+    video: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    sample_mode: str = "sample",
+) -> jnp.ndarray:
+    """Encode [B, T, H, W, 3] in [-1, 1] -> latents [B, T_lat, H/8, W/8, C_lat].
+
+    ``sample_mode='sample'`` draws from the diagonal posterior (requires ``key``),
+    ``'argmax'`` returns the mean — mirroring the reference's ``retrieve_latents``
+    (``aetherv1_pipeline_cogvideox.py:233-245``).
+    """
+    enc = params["encoder"]
+    tcl = cfg.temporal_compress_level
+    x = causal_conv3d(video, enc["conv_in_w"], enc["conv_in_b"])
+
+    for i, block in enumerate(enc["down_blocks"]):
+        for rp in block["resnets"]:
+            x = _resnet3d(x, rp, cfg)
+        if "downsampler" in block:
+            x = _downsample3d(x, block["downsampler"], compress_time=i < tcl)
+
+    for rp in enc["mid"]:
+        x = _resnet3d(x, rp, cfg)
+
+    x = group_norm(x, enc["norm_out_scale"], enc["norm_out_bias"],
+                   cfg.norm_num_groups, cfg.norm_eps)
+    x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+    x = causal_conv3d(x, enc["conv_out_w"], enc["conv_out_b"])
+
+    mean, logvar = jnp.split(x, 2, axis=-1)
+    if sample_mode == "argmax" or key is None:
+        return mean
+    logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar)
+    noise = jax.random.normal(key, mean.shape, dtype=jnp.float32)
+    return (mean.astype(jnp.float32) + std * noise).astype(mean.dtype)
+
+
+def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
+    """Decode latents [B, T_lat, h, w, C_lat] -> video [B, T, H, W, 3] in [-1, 1]."""
+    dec = params["decoder"]
+    tcl = cfg.temporal_compress_level
+    zq = latents
+    x = causal_conv3d(latents, dec["conv_in_w"], dec["conv_in_b"])
+
+    for rp in dec["mid"]:
+        x = _resnet3d(x, rp, cfg, zq=zq)
+
+    for i, block in enumerate(dec["up_blocks"]):
+        for rp in block["resnets"]:
+            x = _resnet3d(x, rp, cfg, zq=zq)
+        if "upsampler" in block:
+            x = _upsample3d(x, block["upsampler"], compress_time=i < tcl)
+
+    x = spatial_norm3d(x, zq, dec["norm_out"], cfg.norm_num_groups, cfg.norm_eps)
+    x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+    x = causal_conv3d(x, dec["conv_out_w"], dec["conv_out_b"])
+    return x

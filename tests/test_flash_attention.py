@@ -1,0 +1,52 @@
+"""Flash attention kernel vs reference attention (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aether_tpu.ops import attention_reference, flash_attention
+
+
+@pytest.mark.parametrize(
+    "shape,blocks",
+    [
+        ((1, 2, 256, 64), (128, 128)),  # exact block multiples
+        ((2, 2, 200, 64), (128, 128)),  # padding + kv mask
+        ((1, 1, 256, 64), (256, 128)),  # asymmetric q/k blocks
+    ],
+)
+def test_flash_matches_reference(shape, blocks):
+    b, h, s, d = shape
+    key = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), shape, jnp.float32)
+        for i in range(3)
+    )
+    ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, block_q=blocks[0], block_k=blocks[1], interpret=True)
+    # tolerance covers JAX's default (bf16-pass) matmul precision on both paths
+    assert float(jnp.max(jnp.abs(ref - out))) < 2.5e-3
+
+
+def test_flash_padding_rows_do_not_leak():
+    """Padded kv positions must receive zero attention weight."""
+    b, h, s, d = 1, 1, 130, 64  # pads to 256
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, s, d), jnp.float32)
+    ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    assert float(jnp.max(jnp.abs(ref - out))) < 2.5e-3
+
+
+def test_flash_bf16():
+    shape = (1, 2, 256, 64)
+    key = jax.random.PRNGKey(2)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), shape, jnp.bfloat16)
+        for i in range(3)
+    )
+    ref = attention_reference(q, k, v).astype(jnp.float32)
+    out = flash_attention(q, k, v, interpret=True).astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(ref - out))) < 2e-2

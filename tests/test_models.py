@@ -1,0 +1,133 @@
+"""DiT + VAE structural tests at tiny config (SURVEY.md section 7 minimum slice)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aether_tpu.config import DiTConfig, VAEConfig
+from aether_tpu.models import (
+    dit_forward,
+    init_dit_params,
+    init_vae_params,
+    prepare_rotary_positional_embeddings,
+    vae_decode,
+    vae_encode,
+)
+from aether_tpu.models.rope import get_resize_crop_region_for_grid
+
+
+def test_rope_shapes_and_dim_split():
+    cfg = DiTConfig.tiny()  # head_dim 16 -> dims 4 | 6 | 6
+    cos, sin = prepare_rotary_positional_embeddings(
+        cfg, height=64, width=96, num_latent_frames=3, fps=12
+    )
+    s_video = 3 * (64 // 16) * (96 // 16)
+    assert cos.shape == (s_video, cfg.head_dim)
+    assert sin.shape == (s_video, cfg.head_dim)
+    # first token is position 0 everywhere: cos = 1, sin = 0
+    np.testing.assert_allclose(cos[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(sin[0], 0.0, atol=1e-6)
+
+
+def test_rope_fps_factor_scales_time():
+    cfg = DiTConfig.tiny()
+    cos12, _ = prepare_rotary_positional_embeddings(cfg, 64, 96, 4, fps=12)
+    cos24, _ = prepare_rotary_positional_embeddings(cfg, 64, 96, 4, fps=24)
+    per_frame = (64 // 16) * (96 // 16)
+    dim_t = cfg.head_dim // 4
+    # fps 24 -> fps_factor 0.5: frame 2 at fps 24 matches frame 1 at fps 12
+    np.testing.assert_allclose(
+        cos24[2 * per_frame, :dim_t], cos12[1 * per_frame, :dim_t], atol=1e-6
+    )
+
+
+def test_resize_crop_region():
+    # full-size grid maps to (0,0)-(grid) on the base grid
+    assert get_resize_crop_region_for_grid((30, 45), 45, 30) == ((0, 0), (30, 45))
+    top_left, bottom_right = get_resize_crop_region_for_grid((30, 30), 45, 30)
+    assert top_left[0] == 0 and top_left[1] > 0  # pillarboxed horizontally
+
+
+def test_dit_forward_shapes():
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    b, f, h, w = 1, 3, 8, 12
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (b, f, cfg.in_channels, h, w))
+    text = jax.random.normal(jax.random.PRNGKey(2), (b, 8, cfg.text_embed_dim))
+    cos, sin = prepare_rotary_positional_embeddings(
+        cfg, h * 8, w * 8, f, vae_scale_factor_spatial=8, fps=12
+    )
+    out = dit_forward(params, cfg, hidden, text, jnp.array([999]),
+                      cos, sin, attn_impl="xla")
+    assert out.shape == (b, f, cfg.out_channels, h, w)
+    assert jnp.isfinite(out).all()
+
+
+def test_dit_cfg_batch_and_jit():
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    b, f, h, w = 2, 2, 4, 4
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (b, f, cfg.in_channels, h, w))
+    text = jax.random.normal(jax.random.PRNGKey(2), (b, 4, cfg.text_embed_dim))
+
+    fwd = jax.jit(lambda p, x, t, ts: dit_forward(p, cfg, x, t, ts, attn_impl="xla"))
+    out = fwd(params, hidden, text, jnp.array([999, 999]))
+    assert out.shape == (b, f, cfg.out_channels, h, w)
+    # identical batch rows + identical timesteps -> identical outputs
+    hidden_same = jnp.concatenate([hidden[:1]] * 2)
+    text_same = jnp.concatenate([text[:1]] * 2)
+    out_same = fwd(params, hidden_same, text_same, jnp.array([500, 500]))
+    np.testing.assert_allclose(np.asarray(out_same[0]), np.asarray(out_same[1]),
+                               atol=1e-5)
+
+
+def test_dit_flash_matches_xla_attention():
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    b, f, h, w = 1, 2, 8, 12  # S_video = 2*4*6 = 48
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (b, f, cfg.in_channels, h, w))
+    text = jax.random.normal(jax.random.PRNGKey(2), (b, 8, cfg.text_embed_dim))
+    out_xla = dit_forward(params, cfg, hidden, text, jnp.array([500]),
+                          attn_impl="xla")
+    out_flash = dit_forward(params, cfg, hidden, text, jnp.array([500]),
+                            attn_impl="flash_interpret")
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_flash),
+                               atol=5e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    cfg = VAEConfig.tiny()
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_vae_encode_decode_shapes(tiny_vae):
+    cfg, params = tiny_vae
+    video = jax.random.normal(jax.random.PRNGKey(1), (1, 9, 32, 48, 3)) * 0.1
+    lat = vae_encode(params, cfg, video, sample_mode="argmax")
+    assert lat.shape == (1, 3, 4, 6, cfg.latent_channels)  # T: 1+(9-1)/4, 8x spatial
+    rec = vae_decode(params, cfg, lat)
+    assert rec.shape == (1, 9, 32, 48, 3)
+    assert jnp.isfinite(rec).all()
+
+
+def test_vae_single_frame(tiny_vae):
+    """Image conditions are encoded per frame (reference pipeline:552-565)."""
+    cfg, params = tiny_vae
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 32, 48, 3)) * 0.1
+    lat = vae_encode(params, cfg, img, sample_mode="argmax")
+    assert lat.shape == (1, 1, 4, 6, cfg.latent_channels)
+    rec = vae_decode(params, cfg, lat)
+    assert rec.shape == (1, 1, 32, 48, 3)
+
+
+def test_vae_posterior_sampling(tiny_vae):
+    cfg, params = tiny_vae
+    video = jax.random.normal(jax.random.PRNGKey(3), (1, 5, 32, 32, 3)) * 0.1
+    mean = vae_encode(params, cfg, video, sample_mode="argmax")
+    s1 = vae_encode(params, cfg, video, key=jax.random.PRNGKey(4))
+    s2 = vae_encode(params, cfg, video, key=jax.random.PRNGKey(5))
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+    assert np.asarray(jnp.abs(mean - s1)).mean() < 5.0  # samples near the mean
