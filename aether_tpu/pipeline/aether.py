@@ -1,0 +1,387 @@
+"""AetherV1 pipeline: one jit-compiled sampler, three tasks.
+
+TPU-native re-design of reference ``aether/pipelines/aetherv1_pipeline_cogvideox.py``
+(class ``AetherV1PipelineCogVideoX``, :255-965). The reference drives a Python
+denoise loop over torch modules; here the entire sampler — VAE condition encode,
+latent packing, CFG batching/masking, the DPM-Solver++ scan, RGB+disparity decode
+and raymap unpack — is ONE jitted function per (task, steps, shape) signature:
+
+- per-task condition assembly is resolved statically (Python) before tracing;
+- the denoise loop is a ``jax.lax.scan`` whose per-step coefficients (timesteps,
+  DPM multipliers, dynamic-CFG scales — including the reference's quirky
+  ``cos(pi*((S - t)/S)^5)`` ramp evaluated in float64 on host, ``pipeline:879-893``)
+  are precomputed arrays indexed by the scanned step;
+- stochastic draws (posterior sampling, init noise, per-step SDE noise) come from a
+  threaded JAX PRNG key. Bit parity with the reference's CUDA generator is
+  impossible cross-framework; metric parity is the target (SURVEY.md section 6).
+
+Task semantics mirrored from the reference:
+- defaults: steps {recon 4, pred 50, plan 50}, guidance {1, 3, 3}, dynamic-CFG
+  {off, on, on} (``pipeline:256-272``);
+- validation: frames in {17,25,33,41}, fps in {8,10,12,15,24}, h,w % 8 == 0,
+  raymap shape (F, 6, H/8, W/8) (``pipeline:350-449``);
+- latent layout: (B, (F-1)/4+1, 56, H/8, W/8); conditions add 16 content + 24
+  packed camera channels; raymap frames fold 4-to-1 via the *strided* einops
+  pattern "(n t) c -> t (n c)" (``pipeline:666-670``), inverse on output keeping
+  the last F frames (``pipeline:942-949``);
+- CFG uncond masking: planning zeroes the content channels of all condition
+  frames; prediction zeroes only frame 0 (``pipeline:839-855``);
+- disparity decode: channel mean, *0.5+0.5, then square (``pipeline:936-939``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aether_tpu.config import PipelineConfig
+from aether_tpu.models.dit import dit_forward
+from aether_tpu.models.rope import prepare_rotary_positional_embeddings
+from aether_tpu.models.vae import vae_decode, vae_encode
+from aether_tpu.schedule.dpm import SamplingPlan, dpm_step, make_sampling_plan
+from aether_tpu.utils.preprocess import preprocess_image, preprocess_video
+
+
+@dataclasses.dataclass
+class AetherPipelineOutput:
+    rgb: np.ndarray  # (F, H, W, 3) in [0, 1]
+    disparity: np.ndarray  # (F, H, W)
+    raymap: np.ndarray  # (F, 6, H/8, W/8)
+
+
+def dynamic_cfg_schedule(
+    timesteps: np.ndarray, num_inference_steps: int, guidance_scale: float
+) -> np.ndarray:
+    """Reference dynamic-CFG ramp, evaluated per *timestep value* in float64.
+
+    1 + g * (1 - cos(pi * ((steps - t)/steps)^5)) / 2  — reference
+    ``pipeline:879-893`` uses ``t.item()`` (the 0..999 timestep, not the index),
+    making the exponent huge; python float64 math reproduces it exactly.
+    """
+    out = np.zeros(len(timesteps), dtype=np.float64)
+    for i, t in enumerate(timesteps):
+        frac = (num_inference_steps - float(int(t))) / num_inference_steps
+        out[i] = 1.0 + guidance_scale * (1.0 - math.cos(math.pi * frac**5.0)) / 2.0
+    return out.astype(np.float32)
+
+
+def pack_raymap(raymap: jnp.ndarray, temporal_ratio: int = 4) -> jnp.ndarray:
+    """(B, F, 6, h, w) -> (B, F/4, 24, h, w) via the strided "(n t) c -> t (n c)"
+    fold; front-pads by repeating the first frames when F % 4 != 0."""
+    b, f = raymap.shape[:2]
+    if f % temporal_ratio != 0:
+        pad = temporal_ratio - f % temporal_ratio
+        raymap = jnp.concatenate([raymap[:, :pad], raymap], axis=1)
+        f = f + pad
+    t = f // temporal_ratio
+    # flattened index along (n t) is n * t_len + t
+    x = raymap.reshape(b, temporal_ratio, t, *raymap.shape[2:])  # (b, n, t, c, h, w)
+    x = jnp.moveaxis(x, 1, 2)  # (b, t, n, c, h, w)
+    return x.reshape(b, t, temporal_ratio * raymap.shape[2], *raymap.shape[3:])
+
+
+def unpack_raymap(camera_latents: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    """(B, T, 24, h, w) -> (B, F, 6, h, w): inverse fold, keep the last F frames."""
+    b, t, nc, h, w = camera_latents.shape
+    n = 4
+    x = camera_latents.reshape(b, t, n, nc // n, h, w)
+    x = jnp.moveaxis(x, 2, 1)  # (b, n, t, c, h, w)
+    x = x.reshape(b, n * t, nc // n, h, w)
+    return x[:, -num_frames:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "attn_impl", "compute_dtype", "task", "do_cfg",
+        "num_latent_frames", "height", "width",
+    ),
+)
+def _sample(
+    config: PipelineConfig,
+    attn_impl: str,
+    compute_dtype,
+    task: str,
+    do_cfg: bool,
+    num_latent_frames: int,
+    height: int,
+    width: int,
+    dit_params: Dict[str, Any],
+    vae_params: Dict[str, Any],
+    empty_prompt_embeds: jnp.ndarray,
+    pixel_conditions: jnp.ndarray,
+    goal_pixels: Optional[jnp.ndarray],
+    raymap: Optional[jnp.ndarray],
+    plan: SamplingPlan,
+    guidance: jnp.ndarray,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    cfg = config
+    dtype = compute_dtype
+    lat_c = cfg.vae.latent_channels
+    h_lat = height // cfg.vae_scale_factor_spatial
+    w_lat = width // cfg.vae_scale_factor_spatial
+    f_lat = num_latent_frames
+    scale = cfg.vae.scaling_factor
+
+    key_vae, key_goal, key_noise, key_sde = jax.random.split(key, 4)
+
+    def encode(frames: jnp.ndarray, k: jax.Array) -> jnp.ndarray:
+        """(F, H, W, 3) in [-1, 1] -> (1, F_lat, C, h, w), scaled."""
+        lat = vae_encode(vae_params, cfg.vae, frames[None].astype(dtype), key=k)
+        lat = jnp.moveaxis(lat, -1, 2)  # (1, F_lat, C, h, w)
+        if cfg.vae.invert_scale_latents:
+            return (lat / scale).astype(dtype)
+        return (lat * scale).astype(dtype)
+
+    # ---- condition latents (reference prepare_latents, pipeline:514-688) ----
+    if task == "reconstruction":
+        condition = encode(pixel_conditions, key_vae)  # full clip
+    elif task == "prediction":
+        img_lat = encode(pixel_conditions, key_vae)  # (1, 1, C, h, w)
+        padding = jnp.zeros((1, f_lat - 1, lat_c, h_lat, w_lat), dtype)
+        condition = jnp.concatenate([img_lat, padding], axis=1)
+    else:  # planning
+        img_lat = encode(pixel_conditions, key_vae)
+        goal_lat = encode(goal_pixels, key_goal)
+        padding = jnp.zeros((1, f_lat - 2, lat_c, h_lat, w_lat), dtype)
+        condition = jnp.concatenate([img_lat, padding, goal_lat], axis=1)
+
+    if raymap is not None:
+        camera = pack_raymap(raymap[None].astype(dtype))
+    else:
+        camera = jnp.zeros((1, f_lat, 24, h_lat, w_lat), dtype)
+    condition_latents = jnp.concatenate([condition, camera], axis=2)
+
+    # ---- initial noise ----
+    latents = (
+        jax.random.normal(key_noise, (1, f_lat, 56, h_lat, w_lat), jnp.float32)
+        * plan.init_noise_sigma
+    ).astype(dtype)
+
+    # ---- CFG uncond masking (pipeline:839-855) ----
+    if do_cfg:
+        uncond = condition_latents
+        if task == "planning":
+            uncond = uncond.at[:, :, :lat_c].set(0.0)
+        elif task == "prediction":
+            uncond = uncond.at[:, :1, :lat_c].set(0.0)
+        latent_condition = jnp.concatenate([uncond, condition_latents], axis=0)
+        text = jnp.concatenate([empty_prompt_embeds] * 2, axis=0)
+    else:
+        latent_condition = condition_latents
+        text = empty_prompt_embeds
+
+    # ---- denoise scan ----
+    def body(carry, i):
+        lat, old_x0 = carry
+        model_in = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
+        model_in = jnp.concatenate([model_in, latent_condition], axis=2)
+        t = plan.timesteps[i]
+        t_batch = jnp.broadcast_to(t, (model_in.shape[0],))
+        noise_pred = dit_forward(
+            dit_params, cfg.dit, model_in, text, t_batch,
+            rope_cos, rope_sin, attn_impl=attn_impl,
+        ).astype(jnp.float32)
+        if do_cfg:
+            uncond_pred, cond_pred = jnp.split(noise_pred, 2, axis=0)
+            noise_pred = uncond_pred + guidance[i] * (cond_pred - uncond_pred)
+        sde_noise = jax.random.normal(
+            jax.random.fold_in(key_sde, i), lat.shape, jnp.float32
+        )
+        new_lat, x0 = dpm_step(plan, i, lat.astype(jnp.float32), noise_pred,
+                               old_x0, sde_noise)
+        return (new_lat.astype(dtype), x0), None
+
+    init = (latents, jnp.zeros(latents.shape, jnp.float32))
+    (latents, _), _ = jax.lax.scan(body, init, jnp.arange(plan.num_steps))
+
+    # ---- decode (pipeline:925-949) ----
+    def decode(lat_16: jnp.ndarray) -> jnp.ndarray:
+        z = (lat_16.astype(jnp.float32) / scale).astype(dtype)
+        z = jnp.moveaxis(z, 2, -1)  # channels-last for the VAE
+        return vae_decode(vae_params, cfg.vae, z).astype(jnp.float32)
+
+    rgb = decode(latents[:, :, :lat_c])  # (1, F, H, W, 3) in [-1, 1]
+    rgb = jnp.clip(rgb * 0.5 + 0.5, 0.0, 1.0)
+
+    disparity = decode(latents[:, :, lat_c : 2 * lat_c])
+    disparity = disparity.mean(axis=-1)  # channel mean
+    disparity = jnp.square(disparity * 0.5 + 0.5)
+
+    raymap_out = unpack_raymap(
+        latents[:, :, 2 * lat_c :].astype(jnp.float32), rgb.shape[1]
+    )
+    return rgb, disparity, raymap_out
+
+
+class AetherPipeline:
+    """Task-dispatching sampler over (dit_params, vae_params).
+
+    Parameters are plain pytrees; ``empty_prompt_embeds`` is the cached (1, 226,
+    4096) empty-prompt T5 embedding the reference computes once at init
+    (``pipeline:290-297``) — baked into the checkpoint here, so no T5 at runtime.
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        dit_params: Dict[str, Any],
+        vae_params: Dict[str, Any],
+        empty_prompt_embeds: Union[np.ndarray, jnp.ndarray],
+        attn_impl: str = "auto",
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.config = config
+        self.dit_params = dit_params
+        self.vae_params = vae_params
+        self.empty_prompt_embeds = jnp.asarray(empty_prompt_embeds, compute_dtype)
+        if self.empty_prompt_embeds.ndim == 2:
+            self.empty_prompt_embeds = self.empty_prompt_embeds[None]
+        if attn_impl == "auto":
+            attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        self.attn_impl = attn_impl
+        self.compute_dtype = compute_dtype
+
+    # ------------------------------------------------------------------
+    # validation (reference pipeline:350-449)
+    # ------------------------------------------------------------------
+    def check_inputs(self, task, image, video, goal, raymap, height, width,
+                     num_frames, fps) -> None:
+        cfg = self.config
+        if task not in ("reconstruction", "prediction", "planning"):
+            raise ValueError(
+                f"`task` has to be one of reconstruction/prediction/planning, got {task}."
+            )
+        if image is None and video is None:
+            raise ValueError("`image` or `video` has to be provided.")
+        if image is not None and video is not None:
+            raise ValueError("`image` and `video` cannot both be provided.")
+        if image is not None and task == "reconstruction":
+            raise ValueError("`image` is not supported for `reconstruction` task.")
+        if goal is not None and task != "planning":
+            raise ValueError("`goal` is only supported for `planning` task.")
+        if video is not None and task != "reconstruction":
+            raise ValueError("`video` is only supported for `reconstruction` task.")
+        if height % 8 != 0 or width % 8 != 0:
+            raise ValueError(
+                f"`height` and `width` have to be divisible by 8 but are {height} and {width}."
+            )
+        if num_frames is None:
+            raise ValueError("`num_frames` is required.")
+        if num_frames not in cfg.allowed_num_frames:
+            raise ValueError(
+                f"`num_frames` has to be one of {list(cfg.allowed_num_frames)}."
+            )
+        if fps not in cfg.allowed_fps:
+            raise ValueError(f"`fps` has to be one of {list(cfg.allowed_fps)}.")
+        if raymap is not None:
+            expected = (num_frames, 6, height // cfg.vae_scale_factor_spatial,
+                        width // cfg.vae_scale_factor_spatial)
+            if tuple(raymap.shape[-4:]) != expected:
+                raise ValueError(
+                    f"`raymap` shape is not correct. Expected {expected}, "
+                    f"got {tuple(raymap.shape)}."
+                )
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        task: Optional[str] = None,
+        image=None,
+        video=None,
+        goal=None,
+        raymap: Optional[np.ndarray] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_frames: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        use_dynamic_cfg: bool = False,
+        fps: Optional[int] = None,
+        seed: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+    ) -> AetherPipelineOutput:
+        cfg = self.config
+        if task is None:
+            task = ("reconstruction" if video is not None
+                    else "planning" if goal is not None else "prediction")
+        height = height or cfg.dit.sample_height * cfg.vae_scale_factor_spatial
+        width = width or cfg.dit.sample_width * cfg.vae_scale_factor_spatial
+        num_frames = num_frames or cfg.dit.sample_frames
+        fps = fps or cfg.base_fps
+
+        self.check_inputs(task, image, video, goal, raymap, height, width,
+                          num_frames, fps)
+
+        num_inference_steps = (
+            num_inference_steps or dict(cfg.default_num_inference_steps)[task]
+        )
+        guidance_scale = guidance_scale or dict(cfg.default_guidance_scale)[task]
+        use_dynamic_cfg = use_dynamic_cfg or dict(cfg.default_use_dynamic_cfg)[task]
+        do_cfg = guidance_scale > 1.0
+
+        # host-side precomputation: pixels, sampling plan, rope tables, guidance
+        if video is not None:
+            pixels = preprocess_video(video, height, width)
+        else:
+            pixels = preprocess_image(image, height, width)[None]  # (1, H, W, 3)
+        goal_pixels = (
+            preprocess_image(goal, height, width)[None] if goal is not None else None
+        )
+        raymap_arr = None if raymap is None else jnp.asarray(np.asarray(raymap))
+
+        f_lat = (num_frames - 1) // cfg.vae_scale_factor_temporal + 1
+        plan = make_sampling_plan(cfg.scheduler, num_inference_steps)
+        if use_dynamic_cfg:
+            guidance = dynamic_cfg_schedule(
+                np.asarray(plan.timesteps), num_inference_steps, guidance_scale
+            )
+        else:
+            guidance = np.full(num_inference_steps, guidance_scale, np.float32)
+        rope_cos, rope_sin = prepare_rotary_positional_embeddings(
+            cfg.dit, height, width, f_lat,
+            vae_scale_factor_spatial=cfg.vae_scale_factor_spatial,
+            base_fps=cfg.base_fps, fps=fps,
+        )
+
+        if key is None:
+            key = jax.random.PRNGKey(seed if seed is not None else 0)
+
+        rgb, disparity, raymap_out = _sample(
+            cfg,
+            self.attn_impl,
+            self.compute_dtype,
+            task,
+            do_cfg,
+            f_lat,
+            height,
+            width,
+            self.dit_params,
+            self.vae_params,
+            self.empty_prompt_embeds,
+            jnp.asarray(pixels),
+            None if goal_pixels is None else jnp.asarray(goal_pixels),
+            raymap_arr,
+            plan,
+            jnp.asarray(guidance),
+            jnp.asarray(rope_cos),
+            jnp.asarray(rope_sin),
+            key,
+        )
+
+        return AetherPipelineOutput(
+            rgb=np.asarray(rgb[0], dtype=np.float32),
+            disparity=np.asarray(disparity[0], dtype=np.float32),
+            raymap=np.asarray(raymap_out[0], dtype=np.float32),
+        )

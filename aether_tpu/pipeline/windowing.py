@@ -1,0 +1,195 @@
+"""Temporal sliding-window scheduling and cross-window blending.
+
+Long videos exceed the model's 41-frame context, so reconstruction runs per-window
+and stitches: disparity is scale-aligned on the overlap (masked least squares) and
+cross-faded; RGB is cross-faded; poses are similarity-aligned (SVD) and SLERP-blended;
+focals are ratio-aligned and lerped; finally everything is unprojected to pointmaps.
+Port of reference ``scripts/demo.py:235-422`` (same algorithm is duplicated at
+``scripts/demo_gradio.py:92-284``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from aether_tpu.geometry.alignment import (
+    align_camera_extrinsics,
+    apply_transformation,
+    poses_to_extrinsics,
+)
+from aether_tpu.geometry.raymap import postprocess_pointmap, raymap_to_poses
+from aether_tpu.geometry.rays import get_intrinsics, project
+from aether_tpu.geometry.smoothing import interpolate_poses
+from aether_tpu.geometry.transforms import compute_scale
+
+
+def get_window_starts(
+    total_frames: int, sliding_window_size: int, temporal_stride: int
+) -> List[int]:
+    """Window start indices covering [0, total_frames) with a tail window."""
+    starts = list(range(0, total_frames - sliding_window_size + 1, temporal_stride))
+    if (
+        total_frames > sliding_window_size
+        and (total_frames - sliding_window_size) % temporal_stride != 0
+    ):
+        starts.append(total_frames - sliding_window_size)
+    return starts
+
+
+def blend_and_merge_window_results(
+    window_results: Sequence,
+    window_indices: Sequence[int],
+    height: int,
+    width: int,
+    smooth_camera: bool = True,
+    smooth_method: str = "kalman",
+    align_pointmaps: bool = False,
+    ray_o_scale_inv: float = 0.1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Merge per-window (rgb, disparity, raymap) outputs into full-video results.
+
+    Returns (rgb (T,H,W,3), disparity (T,H,W), poses (T,4,4), pointmaps (T,H,W,3)).
+    """
+    merged_rgb: Optional[np.ndarray] = None
+    merged_disparity: Optional[np.ndarray] = None
+    merged_poses: Optional[np.ndarray] = None
+    merged_focals: Optional[np.ndarray] = None
+    merged_pointmaps: Optional[np.ndarray] = None
+
+    w1 = window_results[0].disparity
+
+    for idx, (result, t_start) in enumerate(zip(window_results, window_indices)):
+        rgb = np.asarray(result.rgb)
+        disparity = np.asarray(result.disparity)
+        raymap = np.asarray(result.raymap)
+        t_end = t_start + rgb.shape[0]
+
+        if idx == 0:
+            merged_rgb = rgb
+            merged_disparity = disparity
+            pd = postprocess_pointmap(
+                disparity, raymap, vae_downsample_scale=8,
+                ray_o_scale_inv=ray_o_scale_inv,
+                smooth_camera=smooth_camera,
+                smooth_method=smooth_method if smooth_camera else "none",
+            )
+            merged_poses = pd["camera_pose"]
+            merged_focals = (pd["intrinsics"][:, 0, 0] + pd["intrinsics"][:, 1, 1]) / 2
+            if align_pointmaps:
+                merged_pointmaps = pd["pointmap"]
+            continue
+
+        overlap_t = window_indices[idx - 1] + rgb.shape[0] - t_start
+
+        # --- disparity: least-squares scale on the overlap, then cross-fade ---
+        disp_mask = disparity[:overlap_t].reshape(1, -1, w1.shape[-1]) > 0.1
+        scale = compute_scale(
+            disparity[:overlap_t].reshape(1, -1, w1.shape[-1]),
+            merged_disparity[-overlap_t:].reshape(1, -1, w1.shape[-1]),
+            disp_mask,
+        )
+        window_disparity = scale * disparity
+
+        result_disparity = np.ones((t_end, *w1.shape[1:]))
+        result_disparity[:t_start] = merged_disparity[:t_start]
+        result_disparity[t_start + overlap_t :] = window_disparity[overlap_t:]
+        weight = np.linspace(1, 0, overlap_t)[:, None, None]
+        result_disparity[t_start : t_start + overlap_t] = (
+            merged_disparity[t_start : t_start + overlap_t] * weight
+            + window_disparity[:overlap_t] * (1 - weight)
+        )
+        merged_disparity = result_disparity
+
+        # --- rgb cross-fade ---
+        result_rgb = np.ones((t_end, *w1.shape[1:], 3))
+        result_rgb[:t_start] = merged_rgb[:t_start]
+        result_rgb[t_start + overlap_t :] = rgb[overlap_t:]
+        weight_rgb = np.linspace(1, 0, overlap_t)[:, None, None, None]
+        result_rgb[t_start : t_start + overlap_t] = (
+            merged_rgb[t_start : t_start + overlap_t] * weight_rgb
+            + rgb[:overlap_t] * (1 - weight_rgb)
+        )
+        merged_rgb = result_rgb
+
+        # --- poses: similarity-align on overlap, SLERP in the overlap ---
+        window_poses, window_fov_x, window_fov_y = raymap_to_poses(
+            raymap, ray_o_scale_inv=ray_o_scale_inv
+        )
+        window_poses = np.asarray(window_poses)
+        rel_r, rel_t, rel_s = align_camera_extrinsics(
+            window_poses[:overlap_t], merged_poses[-overlap_t:]
+        )
+        aligned = apply_transformation(window_poses, rel_r, rel_t, rel_s)
+        aligned_window_poses = poses_to_extrinsics(aligned)
+
+        result_poses = np.ones((t_end, 4, 4))
+        result_poses[:t_start] = merged_poses[:t_start]
+        result_poses[t_start + overlap_t :] = aligned_window_poses[overlap_t:]
+        weights = np.linspace(1, 0, overlap_t)
+        for t in range(overlap_t):
+            result_poses[t_start + t] = interpolate_poses(
+                merged_poses[t_start + t], aligned_window_poses[t], weights[t]
+            )
+        merged_poses = result_poses
+
+        # --- focals: ratio-align then lerp ---
+        window_intrinsics, _ = get_intrinsics(
+            batch_size=window_poses.shape[0],
+            h=disparity.shape[1], w=disparity.shape[2],
+            fovx=window_fov_x, fovy=window_fov_y,
+        )
+        window_intrinsics = np.asarray(window_intrinsics)
+        window_focals = (window_intrinsics[:, 0, 0] + window_intrinsics[:, 1, 1]) / 2
+        fscale = (merged_focals[-overlap_t:] / window_focals[:overlap_t]).mean()
+        window_focals = fscale * window_focals
+        result_focals = np.ones((t_end,))
+        result_focals[:t_start] = merged_focals[:t_start]
+        result_focals[t_start + overlap_t :] = window_focals[overlap_t:]
+        weight = np.linspace(1, 0, overlap_t)
+        result_focals[t_start : t_start + overlap_t] = (
+            merged_focals[t_start : t_start + overlap_t] * weight
+            + window_focals[:overlap_t] * (1 - weight)
+        )
+        merged_focals = result_focals
+
+        if align_pointmaps:
+            window_pm = postprocess_pointmap(
+                result_disparity[t_start:], raymap, vae_downsample_scale=8,
+                camera_pose=aligned_window_poses, focal=window_focals,
+                ray_o_scale_inv=ray_o_scale_inv,
+                smooth_camera=smooth_camera,
+                smooth_method=smooth_method if smooth_camera else "none",
+            )
+            result_pm = np.ones((t_end, *w1.shape[1:], 3))
+            result_pm[:t_start] = merged_pointmaps[:t_start]
+            result_pm[t_start + overlap_t :] = window_pm["pointmap"][overlap_t:]
+            weight = np.linspace(1, 0, overlap_t)[:, None, None, None]
+            result_pm[t_start : t_start + overlap_t] = (
+                merged_pointmaps[t_start : t_start + overlap_t] * weight
+                + window_pm["pointmap"][:overlap_t] * (1 - weight)
+            )
+            merged_pointmaps = result_pm
+
+    if align_pointmaps:
+        pointmaps = merged_pointmaps
+    else:
+        pointmaps = np.stack(
+            [
+                np.asarray(
+                    project(
+                        1 / np.clip(merged_disparity[i], 1e-8, 1e8),
+                        np.array(
+                            [[merged_focals[i], 0, 0.5 * width],
+                             [0, merged_focals[i], 0.5 * height],
+                             [0, 0, 1]]
+                        ),
+                        merged_poses[i],
+                    )
+                )
+                for i in range(merged_poses.shape[0])
+            ]
+        )
+
+    return merged_rgb, merged_disparity, merged_poses, pointmaps

@@ -1,0 +1,157 @@
+"""End-to-end tiny-config pipeline tests: all three tasks + windowing.
+
+This is SURVEY.md section 7's "minimum end-to-end slice": random-init 2-block DiT +
+tiny VAE, 17 frames, CPU-runnable, proving shapes, the denoise scan, CFG plumbing
+and the decode path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aether_tpu.config import PipelineConfig
+from aether_tpu.geometry import camera_pose_to_raymap, get_intrinsics
+from aether_tpu.models import init_dit_params, init_vae_params
+from aether_tpu.pipeline import (
+    AetherPipeline,
+    AetherPipelineOutput,
+    blend_and_merge_window_results,
+    get_window_starts,
+)
+from aether_tpu.pipeline.aether import pack_raymap, unpack_raymap
+
+H, W, F = 64, 96, 17
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    cfg = PipelineConfig.tiny()
+    key = jax.random.PRNGKey(0)
+    dit_params = init_dit_params(key, cfg.dit, dtype=jnp.float32)
+    vae_params = init_vae_params(jax.random.fold_in(key, 1), cfg.vae, jnp.float32)
+    text = np.random.default_rng(0).normal(
+        size=(1, cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim)
+    ).astype(np.float32)
+    return AetherPipeline(cfg, dit_params, vae_params, text,
+                          attn_impl="xla", compute_dtype=jnp.float32)
+
+
+def test_pack_unpack_raymap_roundtrip(rng):
+    raymap = jnp.asarray(rng.normal(size=(1, 17, 6, 8, 12)).astype(np.float32))
+    packed = pack_raymap(raymap)
+    assert packed.shape == (1, 5, 24, 8, 12)
+    unpacked = unpack_raymap(packed, 17)
+    np.testing.assert_allclose(np.asarray(unpacked), np.asarray(raymap), atol=1e-6)
+
+
+def test_reconstruction_task(tiny_pipeline, rng):
+    video = (rng.uniform(0, 1, size=(F, H, W, 3)) * 255).astype(np.uint8)
+    out = tiny_pipeline(
+        task="reconstruction", video=video, height=H, width=W,
+        num_frames=F, num_inference_steps=2, fps=12, seed=42,
+    )
+    assert out.rgb.shape == (F, H, W, 3)
+    assert out.disparity.shape == (F, H, W)
+    assert out.raymap.shape == (F, 6, H // 8, W // 8)
+    assert out.rgb.min() >= 0.0 and out.rgb.max() <= 1.0
+    assert out.disparity.min() >= 0.0  # square keeps it non-negative
+    assert np.isfinite(out.raymap).all()
+
+
+def test_prediction_task_with_raymap_action(tiny_pipeline, rng):
+    image = (rng.uniform(0, 1, size=(H, W, 3)) * 255).astype(np.uint8)
+    poses = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    poses[:, 2, 3] = np.linspace(0, 1, F)  # forward motion
+    K, _ = get_intrinsics(F, H, W, focal=60.0)
+    raymap = np.asarray(camera_pose_to_raymap(poses, np.asarray(K),
+                                              height=H, width=W))
+    out = tiny_pipeline(
+        task="prediction", image=image, raymap=raymap, height=H, width=W,
+        num_frames=F, num_inference_steps=2, guidance_scale=3.0,
+        use_dynamic_cfg=True, fps=12, seed=1,
+    )
+    assert out.rgb.shape == (F, H, W, 3)
+    assert np.isfinite(out.rgb).all()
+
+
+def test_planning_task(tiny_pipeline, rng):
+    obs = (rng.uniform(0, 1, size=(H, W, 3)) * 255).astype(np.uint8)
+    goal = (rng.uniform(0, 1, size=(H, W, 3)) * 255).astype(np.uint8)
+    out = tiny_pipeline(
+        task="planning", image=obs, goal=goal, height=H, width=W,
+        num_frames=F, num_inference_steps=2, guidance_scale=3.0, fps=12, seed=2,
+    )
+    assert out.rgb.shape == (F, H, W, 3)
+    assert np.isfinite(out.disparity).all()
+
+
+def test_task_inference_and_validation(tiny_pipeline, rng):
+    video = rng.uniform(0, 1, size=(F, H, W, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="num_frames"):
+        tiny_pipeline(video=video, height=H, width=W, num_frames=18)
+    with pytest.raises(ValueError, match="fps"):
+        tiny_pipeline(video=video, height=H, width=W, num_frames=F, fps=7)
+    with pytest.raises(ValueError, match="image"):
+        tiny_pipeline(task="reconstruction", image=video[0], height=H, width=W,
+                      num_frames=F)
+    with pytest.raises(ValueError, match="raymap"):
+        tiny_pipeline(video=video, raymap=np.zeros((F, 6, 4, 4)), height=H,
+                      width=W, num_frames=F)
+
+
+def test_determinism_same_seed(tiny_pipeline, rng):
+    video = (rng.uniform(0, 1, size=(F, H, W, 3)) * 255).astype(np.uint8)
+    kwargs = dict(task="reconstruction", video=video, height=H, width=W,
+                  num_frames=F, num_inference_steps=2, fps=12, seed=7)
+    out1 = tiny_pipeline(**kwargs)
+    out2 = tiny_pipeline(**kwargs)
+    np.testing.assert_array_equal(out1.rgb, out2.rgb)
+    np.testing.assert_array_equal(out1.raymap, out2.raymap)
+
+
+# ---------------------------------------------------------------------------
+# windowing
+# ---------------------------------------------------------------------------
+
+
+def test_get_window_starts():
+    assert get_window_starts(41, 41, 24) == [0]
+    assert get_window_starts(100, 41, 24) == [0, 24, 48, 59]
+    assert get_window_starts(89, 41, 24) == [0, 24, 48]
+
+
+def _synthetic_window(rng, poses, focal=60.0, h=64, w=96):
+    f = poses.shape[0]
+    K, _ = get_intrinsics(f, h, w, focal=focal)
+    raymap = np.asarray(
+        camera_pose_to_raymap(poses.astype(np.float32), np.asarray(K),
+                              height=h, width=w)
+    )
+    rgb = rng.uniform(0, 1, size=(f, h, w, 3)).astype(np.float32)
+    disparity = np.full((f, h, w), 0.5, dtype=np.float32)
+    return AetherPipelineOutput(rgb=rgb, disparity=disparity, raymap=raymap)
+
+
+def test_blend_and_merge_windows(rng):
+    """Two overlapping windows along a smooth trajectory stitch continuously."""
+    total, size, stride = 25, 17, 8
+    poses = np.tile(np.eye(4), (total, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 2.4, total)  # constant-velocity x motion
+
+    starts = get_window_starts(total, size, stride)
+    assert starts == [0, 8]
+    windows = [_synthetic_window(rng, poses[s : s + size]) for s in starts]
+
+    rgb, disparity, merged_poses, pointmaps = blend_and_merge_window_results(
+        windows, starts, height=64, width=96, smooth_camera=False,
+    )
+    assert rgb.shape == (total, 64, 96, 3)
+    assert disparity.shape == (total, 64, 96)
+    assert merged_poses.shape == (total, 4, 4)
+    assert pointmaps.shape == (total, 64, 96, 3)
+    # stitched trajectory must remain monotone in x with roughly constant steps
+    x = merged_poses[:, 0, 3]
+    steps = np.diff(x)
+    assert (steps > 0).all()
+    assert steps.std() / steps.mean() < 0.2
