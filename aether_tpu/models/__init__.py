@@ -8,5 +8,7 @@ from aether_tpu.models.rope import (  # noqa: F401
 from aether_tpu.models.vae import (  # noqa: F401
     init_vae_params,
     vae_decode,
+    vae_decode_chunked,
     vae_encode,
+    vae_encode_chunked,
 )

@@ -44,17 +44,20 @@ def _conv3d(
     stride: Tuple[int, int, int] = (1, 1, 1),
     padding=((0, 0), (0, 0), (0, 0)),
 ) -> jnp.ndarray:
+    # output stays in the compute dtype (bf16 on TPU, like the reference's torch
+    # bf16 VAE); the MXU still accumulates partial sums in f32 internally, and
+    # keeping activations narrow is what lets 480p chunks fit beside 11 GB of
+    # resident DiT weights
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + b.astype(x.dtype)
+    return out
 
 
 def causal_conv3d(
@@ -131,14 +134,44 @@ def spatial_norm3d(
 # ---------------------------------------------------------------------------
 
 
+class ConvCache:
+    """Threads per-conv temporal context across frame chunks.
+
+    Mirrors diffusers' ``conv_cache`` mechanism: each causal conv keeps its last
+    (kt - 1) input frames so chunked encode/decode is *exactly* equivalent to
+    full-clip processing for every convolution (normalization statistics remain
+    per-chunk, as in the reference's framewise mode).
+    """
+
+    def __init__(self, cache_in: Optional[Dict[str, jnp.ndarray]] = None):
+        self.cache_in = cache_in or {}
+        self.cache_out: Dict[str, jnp.ndarray] = {}
+
+    def conv(self, x, w, b, name: str, stride=(1, 1, 1)):
+        kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+        if kt > 1:
+            prev = self.cache_in.get(name)
+            if prev is None:
+                front = jnp.repeat(x[:, :1], kt - 1, axis=1)
+            else:
+                front = prev.astype(x.dtype)
+            x = jnp.concatenate([front, x], axis=1)
+            self.cache_out[name] = x[:, -(kt - 1):]
+        pad_h, pad_w = kh // 2, kw // 2
+        return _conv3d(x, w, b, stride, ((0, 0), (pad_h, pad_h), (pad_w, pad_w)))
+
+
 def _resnet3d(
     x: jnp.ndarray,
     p: Params,
     cfg: VAEConfig,
     zq: Optional[jnp.ndarray] = None,
+    cache: Optional[ConvCache] = None,
+    path: str = "",
 ) -> jnp.ndarray:
     """CogVideoX 3D resnet block; decoder blocks modulate norms with zq."""
     groups, eps = cfg.norm_num_groups, cfg.norm_eps
+    cache = cache if cache is not None else ConvCache()
 
     def norm(h, np_):
         if zq is None:
@@ -147,10 +180,10 @@ def _resnet3d(
 
     h = norm(x, p["norm1"])
     h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
-    h = causal_conv3d(h, p["conv1_w"], p["conv1_b"])
+    h = cache.conv(h, p["conv1_w"], p["conv1_b"], path + "/conv1")
     h = norm(h, p["norm2"])
     h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
-    h = causal_conv3d(h, p["conv2_w"], p["conv2_b"])
+    h = cache.conv(h, p["conv2_w"], p["conv2_b"], path + "/conv2")
 
     if "shortcut_w" in p:
         x = _pointwise(x, p["shortcut_w"], p["shortcut_b"])
@@ -309,6 +342,45 @@ def init_vae_params(key: jax.Array, cfg: VAEConfig, dtype=jnp.float32) -> Params
 # ---------------------------------------------------------------------------
 
 
+def encode_moments(
+    params: Params,
+    cfg: VAEConfig,
+    video: jnp.ndarray,
+    cache_in: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Encoder trunk: [B, T, H, W, 3] -> (mean, logvar, conv_cache_out)."""
+    enc = params["encoder"]
+    tcl = cfg.temporal_compress_level
+    cache = ConvCache(cache_in)
+    x = cache.conv(video, enc["conv_in_w"], enc["conv_in_b"], "enc/conv_in")
+
+    for i, block in enumerate(enc["down_blocks"]):
+        for j, rp in enumerate(block["resnets"]):
+            x = _resnet3d(x, rp, cfg, cache=cache, path=f"enc/down{i}/res{j}")
+        if "downsampler" in block:
+            x = _downsample3d(x, block["downsampler"], compress_time=i < tcl)
+
+    for j, rp in enumerate(enc["mid"]):
+        x = _resnet3d(x, rp, cfg, cache=cache, path=f"enc/mid{j}")
+
+    x = group_norm(x, enc["norm_out_scale"], enc["norm_out_bias"],
+                   cfg.norm_num_groups, cfg.norm_eps)
+    x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+    x = cache.conv(x, enc["conv_out_w"], enc["conv_out_b"], "enc/conv_out")
+
+    mean, logvar = jnp.split(x, 2, axis=-1)
+    return mean, logvar, cache.cache_out
+
+
+def _sample_posterior(mean, logvar, key, sample_mode):
+    if sample_mode == "argmax" or key is None:
+        return mean
+    logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar)
+    noise = jax.random.normal(key, mean.shape, dtype=jnp.float32)
+    return (mean.astype(jnp.float32) + std * noise).astype(mean.dtype)
+
+
 def vae_encode(
     params: Params,
     cfg: VAEConfig,
@@ -322,50 +394,98 @@ def vae_encode(
     ``'argmax'`` returns the mean — mirroring the reference's ``retrieve_latents``
     (``aetherv1_pipeline_cogvideox.py:233-245``).
     """
-    enc = params["encoder"]
-    tcl = cfg.temporal_compress_level
-    x = causal_conv3d(video, enc["conv_in_w"], enc["conv_in_b"])
-
-    for i, block in enumerate(enc["down_blocks"]):
-        for rp in block["resnets"]:
-            x = _resnet3d(x, rp, cfg)
-        if "downsampler" in block:
-            x = _downsample3d(x, block["downsampler"], compress_time=i < tcl)
-
-    for rp in enc["mid"]:
-        x = _resnet3d(x, rp, cfg)
-
-    x = group_norm(x, enc["norm_out_scale"], enc["norm_out_bias"],
-                   cfg.norm_num_groups, cfg.norm_eps)
-    x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
-    x = causal_conv3d(x, enc["conv_out_w"], enc["conv_out_b"])
-
-    mean, logvar = jnp.split(x, 2, axis=-1)
-    if sample_mode == "argmax" or key is None:
-        return mean
-    logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
-    std = jnp.exp(0.5 * logvar)
-    noise = jax.random.normal(key, mean.shape, dtype=jnp.float32)
-    return (mean.astype(jnp.float32) + std * noise).astype(mean.dtype)
+    mean, logvar, _ = encode_moments(params, cfg, video)
+    return _sample_posterior(mean, logvar, key, sample_mode)
 
 
-def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
-    """Decode latents [B, T_lat, h, w, C_lat] -> video [B, T, H, W, 3] in [-1, 1]."""
+def vae_encode_chunked(
+    params: Params,
+    cfg: VAEConfig,
+    video: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    sample_mode: str = "sample",
+    frame_batch_size: int = 8,
+) -> jnp.ndarray:
+    """Memory-bounded encode: frame chunks threaded through conv caches.
+
+    Exactly equivalent to full-clip processing for all convolutions; group-norm
+    statistics are per-chunk, matching the reference's framewise/sliced mode
+    (the reference enables VAE slicing+tiling at ``scripts/demo.py:229-230``).
+    Chunk layout mirrors diffusers: first chunk absorbs the remainder.
+    """
+    t = video.shape[1]
+    n_chunks = max(t // frame_batch_size, 1)
+    remaining = t % frame_batch_size if t > frame_batch_size else 0
+    means, logvars = [], []
+    cache: Optional[Dict[str, jnp.ndarray]] = None
+    start = 0
+    for i in range(n_chunks):
+        end = min(frame_batch_size + remaining if i == 0 else
+                  start + frame_batch_size, t)
+        mean, logvar, cache = encode_moments(params, cfg, video[:, start:end], cache)
+        means.append(mean)
+        logvars.append(logvar)
+        start = end
+    mean = jnp.concatenate(means, axis=1)
+    logvar = jnp.concatenate(logvars, axis=1)
+    return _sample_posterior(mean, logvar, key, sample_mode)
+
+
+def decode_frames(
+    params: Params,
+    cfg: VAEConfig,
+    latents: jnp.ndarray,
+    cache_in: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Decoder trunk: [B, T_lat, h, w, C_lat] -> (video, conv_cache_out)."""
     dec = params["decoder"]
     tcl = cfg.temporal_compress_level
     zq = latents
-    x = causal_conv3d(latents, dec["conv_in_w"], dec["conv_in_b"])
+    cache = ConvCache(cache_in)
+    x = cache.conv(latents, dec["conv_in_w"], dec["conv_in_b"], "dec/conv_in")
 
-    for rp in dec["mid"]:
-        x = _resnet3d(x, rp, cfg, zq=zq)
+    for j, rp in enumerate(dec["mid"]):
+        x = _resnet3d(x, rp, cfg, zq=zq, cache=cache, path=f"dec/mid{j}")
 
     for i, block in enumerate(dec["up_blocks"]):
-        for rp in block["resnets"]:
-            x = _resnet3d(x, rp, cfg, zq=zq)
+        for j, rp in enumerate(block["resnets"]):
+            x = _resnet3d(x, rp, cfg, zq=zq, cache=cache, path=f"dec/up{i}/res{j}")
         if "upsampler" in block:
             x = _upsample3d(x, block["upsampler"], compress_time=i < tcl)
 
     x = spatial_norm3d(x, zq, dec["norm_out"], cfg.norm_num_groups, cfg.norm_eps)
     x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
-    x = causal_conv3d(x, dec["conv_out_w"], dec["conv_out_b"])
-    return x
+    x = cache.conv(x, dec["conv_out_w"], dec["conv_out_b"], "dec/conv_out")
+    return x, cache.cache_out
+
+
+def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
+    """Decode latents [B, T_lat, h, w, C_lat] -> video [B, T, H, W, 3] in [-1, 1]."""
+    video, _ = decode_frames(params, cfg, latents)
+    return video
+
+
+def vae_decode_chunked(
+    params: Params,
+    cfg: VAEConfig,
+    latents: jnp.ndarray,
+    frame_batch_size: int = 2,
+) -> jnp.ndarray:
+    """Memory-bounded decode: latent-frame chunks threaded through conv caches.
+
+    Mirrors diffusers' framewise decode (chunks of 2 latent frames, first chunk
+    absorbs the remainder; zq modulation uses the chunk's own latents).
+    """
+    t = latents.shape[1]
+    n_chunks = max(t // frame_batch_size, 1)
+    remaining = t % frame_batch_size if t > frame_batch_size else 0
+    outs = []
+    cache: Optional[Dict[str, jnp.ndarray]] = None
+    start = 0
+    for i in range(n_chunks):
+        end = min(frame_batch_size + remaining if i == 0 else
+                  start + frame_batch_size, t)
+        video, cache = decode_frames(params, cfg, latents[:, start:end], cache)
+        outs.append(video)
+        start = end
+    return jnp.concatenate(outs, axis=1)

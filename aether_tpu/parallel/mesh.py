@@ -1,0 +1,95 @@
+"""Device mesh construction and sharding rules (dp x tp).
+
+The reference's only parallelism is embarrassing data-parallel sequence sharding
+through HF Accelerate (SURVEY.md section 2.3, ``evaluation/*/launch_aether.py``).
+The TPU-native equivalents here are:
+
+- **dp**: batch / CFG-pair / eval-sequence sharding across chips;
+- **tp**: Megatron-style tensor parallelism of the 3072-wide DiT — q/k/v and MLP
+  up-projections shard the output feature dim (= attention heads), output
+  projections shard the input dim. Annotations only: XLA GSPMD inserts the
+  all-reduces over ICI; no hand-written collectives in model code.
+
+Use ``make_mesh`` for explicit topologies or the (dp, tp) factorization helper.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aether_tpu.config import DiTConfig
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    tp: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('dp', 'tp') mesh over the available devices.
+
+    With no arguments, all devices go to tp on a single host (the DiT is one
+    model; eval harnesses add dp explicitly).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None and tp is None:
+        dp, tp = 1, n
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != num devices ({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def dit_param_sharding(cfg: DiTConfig, mesh: Mesh) -> Dict[str, Any]:
+    """PartitionSpec tree matching ``init_dit_params``' structure.
+
+    Stacked block params have a leading layer axis (never sharded). Feature-dim
+    sharding follows the Megatron pattern so that activations stay replicated on
+    tp and each block needs exactly one all-reduce after attention and one after
+    the MLP (inserted by GSPMD).
+    """
+    rep = P()
+    blocks = {
+        # adaLN modulation: shard the 6*D output features
+        "norm1": {"w": P(None, None, "tp"), "b": P(None, "tp"),
+                  "ln_scale": rep, "ln_bias": rep},
+        "norm2": {"w": P(None, None, "tp"), "b": P(None, "tp"),
+                  "ln_scale": rep, "ln_bias": rep},
+        "attn": {
+            "q_w": P(None, None, "tp"), "q_b": P(None, "tp"),
+            "k_w": P(None, None, "tp"), "k_b": P(None, "tp"),
+            "v_w": P(None, None, "tp"), "v_b": P(None, "tp"),
+            "o_w": P(None, "tp", None), "o_b": rep,
+            "norm_q_scale": rep, "norm_q_bias": rep,
+            "norm_k_scale": rep, "norm_k_bias": rep,
+        },
+        "mlp": {
+            "w1": P(None, None, "tp"), "b1": P(None, "tp"),
+            "w2": P(None, "tp", None), "b2": rep,
+        },
+    }
+    return {
+        "patch_embed": {
+            "proj_w": P(None, "tp"), "proj_b": P("tp"),
+            "text_w": P(None, "tp"), "text_b": P("tp"),
+        },
+        "time_embed": {"w1": rep, "b1": rep, "w2": rep, "b2": rep},
+        "blocks": blocks,
+        "norm_final": {"scale": rep, "bias": rep},
+        "norm_out": {"w": rep, "b": rep, "ln_scale": rep, "ln_bias": rep},
+        "proj_out": {"w": P("tp", None), "b": rep},
+    }
+
+
+def shard_params(params: Dict[str, Any], specs: Dict[str, Any], mesh: Mesh):
+    """Device-put a parameter pytree with the given PartitionSpec tree."""
+    return jax.tree_util.tree_map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), params, specs
+    )

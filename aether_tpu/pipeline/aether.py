@@ -43,7 +43,6 @@ import numpy as np
 from aether_tpu.config import PipelineConfig
 from aether_tpu.models.dit import dit_forward
 from aether_tpu.models.rope import prepare_rotary_positional_embeddings
-from aether_tpu.models.vae import vae_decode, vae_encode
 from aether_tpu.schedule.dpm import SamplingPlan, dpm_step, make_sampling_plan
 from aether_tpu.utils.preprocess import preprocess_image, preprocess_video
 
@@ -96,78 +95,122 @@ def unpack_raymap(camera_latents: jnp.ndarray, num_frames: int) -> jnp.ndarray:
     return x[:, -num_frames:]
 
 
+@functools.partial(jax.jit, static_argnames=("config", "dtype"))
+def _encode_chunk(config, dtype, vae_params, frames, cache):
+    from aether_tpu.models.vae import encode_moments
+
+    return encode_moments(vae_params, config.vae, frames.astype(dtype), cache)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "dtype"))
+def _decode_chunk(config, dtype, vae_params, latents_cl, cache):
+    from aether_tpu.models.vae import decode_frames
+
+    return decode_frames(vae_params, config.vae, latents_cl.astype(dtype), cache)
+
+
+def _encode_pixels(
+    config: PipelineConfig,
+    dtype,
+    vae_params: Dict[str, Any],
+    frames: jnp.ndarray,  # (F, H, W, 3) in [-1, 1]
+    key: Optional[jax.Array],
+    frame_batch_size: int = 4,
+) -> jnp.ndarray:
+    """Chunked VAE encode -> scaled condition latents (1, F_lat, C, h, w).
+
+    Host loop over frame chunks with conv-cache threading (2 compiled chunk
+    shapes); mirrors the reference's framewise encode with slicing enabled.
+    """
+    video = frames[None]
+    t = video.shape[1]
+    n_chunks = max(t // frame_batch_size, 1)
+    remaining = t % frame_batch_size if t > frame_batch_size else 0
+    means, logvars = [], []
+    cache = None
+    start = 0
+    for i in range(n_chunks):
+        end = min(frame_batch_size + remaining if i == 0 else
+                  start + frame_batch_size, t)
+        mean, logvar, cache = _encode_chunk(
+            config, dtype, vae_params, video[:, start:end], cache
+        )
+        means.append(mean)
+        logvars.append(logvar)
+        start = end
+    mean = jnp.concatenate(means, axis=1)
+    logvar = jnp.concatenate(logvars, axis=1)
+
+    if key is not None:
+        logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
+        noise = jax.random.normal(key, mean.shape, jnp.float32)
+        lat = mean.astype(jnp.float32) + jnp.exp(0.5 * logvar) * noise
+    else:
+        lat = mean.astype(jnp.float32)
+    lat = jnp.moveaxis(lat, -1, 2)  # (1, F_lat, C, h, w)
+    scale = config.vae.scaling_factor
+    if config.vae.invert_scale_latents:
+        return (lat / scale).astype(dtype)
+    return (lat * scale).astype(dtype)
+
+
+def _decode_pixels(
+    config: PipelineConfig,
+    dtype,
+    vae_params: Dict[str, Any],
+    latents_16: jnp.ndarray,  # (1, F_lat, C, h, w) scaled
+    frame_batch_size: int = 2,
+) -> jnp.ndarray:
+    """Chunked VAE decode -> (1, F, H, W, 3) float32 in [-1, 1]."""
+    z = latents_16.astype(jnp.float32) / config.vae.scaling_factor
+    z = jnp.moveaxis(z, 2, -1)  # channels-last
+    t = z.shape[1]
+    n_chunks = max(t // frame_batch_size, 1)
+    remaining = t % frame_batch_size if t > frame_batch_size else 0
+    outs = []
+    cache = None
+    start = 0
+    for i in range(n_chunks):
+        end = min(frame_batch_size + remaining if i == 0 else
+                  start + frame_batch_size, t)
+        video, cache = _decode_chunk(config, dtype, vae_params, z[:, start:end], cache)
+        outs.append(video.astype(jnp.float32))
+        start = end
+    return jnp.concatenate(outs, axis=1)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "config", "attn_impl", "compute_dtype", "task", "do_cfg",
-        "num_latent_frames", "height", "width",
-    ),
+    static_argnames=("config", "attn_impl", "compute_dtype", "task", "do_cfg"),
 )
-def _sample(
+def _denoise(
     config: PipelineConfig,
     attn_impl: str,
     compute_dtype,
     task: str,
     do_cfg: bool,
-    num_latent_frames: int,
-    height: int,
-    width: int,
     dit_params: Dict[str, Any],
-    vae_params: Dict[str, Any],
     empty_prompt_embeds: jnp.ndarray,
-    pixel_conditions: jnp.ndarray,
-    goal_pixels: Optional[jnp.ndarray],
-    raymap: Optional[jnp.ndarray],
+    condition_latents: jnp.ndarray,  # (1, F_lat, 40, h, w): 16 content + 24 camera
     plan: SamplingPlan,
     guidance: jnp.ndarray,
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
     key: jax.Array,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> jnp.ndarray:
+    """The jitted denoise loop; returns final (1, F_lat, 56, h, w) latents."""
     cfg = config
     dtype = compute_dtype
     lat_c = cfg.vae.latent_channels
-    h_lat = height // cfg.vae_scale_factor_spatial
-    w_lat = width // cfg.vae_scale_factor_spatial
-    f_lat = num_latent_frames
-    scale = cfg.vae.scaling_factor
+    _, f_lat, _, h_lat, w_lat = condition_latents.shape
 
-    key_vae, key_goal, key_noise, key_sde = jax.random.split(key, 4)
-
-    def encode(frames: jnp.ndarray, k: jax.Array) -> jnp.ndarray:
-        """(F, H, W, 3) in [-1, 1] -> (1, F_lat, C, h, w), scaled."""
-        lat = vae_encode(vae_params, cfg.vae, frames[None].astype(dtype), key=k)
-        lat = jnp.moveaxis(lat, -1, 2)  # (1, F_lat, C, h, w)
-        if cfg.vae.invert_scale_latents:
-            return (lat / scale).astype(dtype)
-        return (lat * scale).astype(dtype)
-
-    # ---- condition latents (reference prepare_latents, pipeline:514-688) ----
-    if task == "reconstruction":
-        condition = encode(pixel_conditions, key_vae)  # full clip
-    elif task == "prediction":
-        img_lat = encode(pixel_conditions, key_vae)  # (1, 1, C, h, w)
-        padding = jnp.zeros((1, f_lat - 1, lat_c, h_lat, w_lat), dtype)
-        condition = jnp.concatenate([img_lat, padding], axis=1)
-    else:  # planning
-        img_lat = encode(pixel_conditions, key_vae)
-        goal_lat = encode(goal_pixels, key_goal)
-        padding = jnp.zeros((1, f_lat - 2, lat_c, h_lat, w_lat), dtype)
-        condition = jnp.concatenate([img_lat, padding, goal_lat], axis=1)
-
-    if raymap is not None:
-        camera = pack_raymap(raymap[None].astype(dtype))
-    else:
-        camera = jnp.zeros((1, f_lat, 24, h_lat, w_lat), dtype)
-    condition_latents = jnp.concatenate([condition, camera], axis=2)
-
-    # ---- initial noise ----
+    key_noise, key_sde = jax.random.split(key)
     latents = (
         jax.random.normal(key_noise, (1, f_lat, 56, h_lat, w_lat), jnp.float32)
         * plan.init_noise_sigma
     ).astype(dtype)
 
-    # ---- CFG uncond masking (pipeline:839-855) ----
+    # CFG uncond masking (pipeline:839-855)
     if do_cfg:
         uncond = condition_latents
         if task == "planning":
@@ -180,7 +223,6 @@ def _sample(
         latent_condition = condition_latents
         text = empty_prompt_embeds
 
-    # ---- denoise scan ----
     def body(carry, i):
         lat, old_x0 = carry
         model_in = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
@@ -203,24 +245,7 @@ def _sample(
 
     init = (latents, jnp.zeros(latents.shape, jnp.float32))
     (latents, _), _ = jax.lax.scan(body, init, jnp.arange(plan.num_steps))
-
-    # ---- decode (pipeline:925-949) ----
-    def decode(lat_16: jnp.ndarray) -> jnp.ndarray:
-        z = (lat_16.astype(jnp.float32) / scale).astype(dtype)
-        z = jnp.moveaxis(z, 2, -1)  # channels-last for the VAE
-        return vae_decode(vae_params, cfg.vae, z).astype(jnp.float32)
-
-    rgb = decode(latents[:, :, :lat_c])  # (1, F, H, W, 3) in [-1, 1]
-    rgb = jnp.clip(rgb * 0.5 + 0.5, 0.0, 1.0)
-
-    disparity = decode(latents[:, :, lat_c : 2 * lat_c])
-    disparity = disparity.mean(axis=-1)  # channel mean
-    disparity = jnp.square(disparity * 0.5 + 0.5)
-
-    raymap_out = unpack_raymap(
-        latents[:, :, 2 * lat_c :].astype(jnp.float32), rgb.shape[1]
-    )
-    return rgb, disparity, raymap_out
+    return latents
 
 
 class AetherPipeline:
@@ -357,27 +382,56 @@ class AetherPipeline:
 
         if key is None:
             key = jax.random.PRNGKey(seed if seed is not None else 0)
+        key_vae, key_goal, key_denoise = jax.random.split(key, 3)
 
-        rgb, disparity, raymap_out = _sample(
-            cfg,
-            self.attn_impl,
-            self.compute_dtype,
-            task,
-            do_cfg,
-            f_lat,
-            height,
-            width,
-            self.dit_params,
-            self.vae_params,
-            self.empty_prompt_embeds,
-            jnp.asarray(pixels),
-            None if goal_pixels is None else jnp.asarray(goal_pixels),
-            raymap_arr,
-            plan,
-            jnp.asarray(guidance),
-            jnp.asarray(rope_cos),
-            jnp.asarray(rope_sin),
-            key,
+        cfgd = cfg
+        dtype = self.compute_dtype
+        lat_c = cfgd.vae.latent_channels
+        h_lat = height // cfgd.vae_scale_factor_spatial
+        w_lat = width // cfgd.vae_scale_factor_spatial
+
+        # ---- stage 1: chunked VAE encode of the pixel conditions ----
+        if task == "reconstruction":
+            condition = _encode_pixels(cfgd, dtype, self.vae_params,
+                                       jnp.asarray(pixels), key_vae)
+        elif task == "prediction":
+            img_lat = _encode_pixels(cfgd, dtype, self.vae_params,
+                                     jnp.asarray(pixels), key_vae)
+            padding = jnp.zeros((1, f_lat - 1, lat_c, h_lat, w_lat), dtype)
+            condition = jnp.concatenate([img_lat, padding], axis=1)
+        else:  # planning
+            img_lat = _encode_pixels(cfgd, dtype, self.vae_params,
+                                     jnp.asarray(pixels), key_vae)
+            goal_lat = _encode_pixels(cfgd, dtype, self.vae_params,
+                                      jnp.asarray(goal_pixels), key_goal)
+            padding = jnp.zeros((1, f_lat - 2, lat_c, h_lat, w_lat), dtype)
+            condition = jnp.concatenate([img_lat, padding, goal_lat], axis=1)
+
+        if raymap_arr is not None:
+            camera = pack_raymap(raymap_arr[None].astype(dtype))
+        else:
+            camera = jnp.zeros((1, f_lat, 24, h_lat, w_lat), dtype)
+        condition_latents = jnp.concatenate([condition, camera], axis=2)
+
+        # ---- stage 2: jitted denoise scan ----
+        latents = _denoise(
+            cfgd, self.attn_impl, dtype, task, do_cfg,
+            self.dit_params, self.empty_prompt_embeds, condition_latents,
+            plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
+            jnp.asarray(rope_sin), key_denoise,
+        )
+
+        # ---- stage 3: chunked VAE decode + output transforms ----
+        rgb = _decode_pixels(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
+        rgb = jnp.clip(rgb * 0.5 + 0.5, 0.0, 1.0)
+
+        disparity = _decode_pixels(
+            cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
+        )
+        disparity = jnp.square(disparity.mean(axis=-1) * 0.5 + 0.5)
+
+        raymap_out = unpack_raymap(
+            latents[:, :, 2 * lat_c :].astype(jnp.float32), int(rgb.shape[1])
         )
 
         return AetherPipelineOutput(

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Driver benchmark: one 41f x 480x720 4D-reconstruction window on one TPU chip.
+
+Measures the reference's headline configuration (BASELINE.json config #1 /
+BASELINE.md): 4 DPM denoise steps of the CogVideoX-5B-class DiT (42 x 3072 x 48
+heads, 96->56 ch) + chunked causal-VAE encode/decode, end to end, bf16,
+random-init weights (the public AetherV1 checkpoint is unreachable offline — the
+compute graph and shapes are identical, so wall-clock is representative).
+
+Prints ONE JSON line:
+  {"metric": "e2e_seconds_per_41f_480p_window", "value": ..., "unit": "s",
+   "vs_baseline": <north-star 10 s / value>, ...sub-metrics...}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _block(tree):
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), tree)
+
+
+def main() -> None:
+    from aether_tpu.config import PipelineConfig
+    from aether_tpu.models import init_dit_params, init_vae_params
+    from aether_tpu.pipeline import AetherPipeline
+    from aether_tpu.pipeline.aether import _decode_pixels, _denoise, _encode_pixels
+
+    backend = jax.default_backend()
+    on_accel = backend not in ("cpu",)
+    dtype = jnp.bfloat16 if on_accel else jnp.float32
+
+    height, width, num_frames, steps = 480, 720, 41, 4
+    if not on_accel:
+        # CPU smoke fallback so the bench stays runnable anywhere: tiny config
+        cfg = PipelineConfig.tiny()
+        height, width, num_frames = 64, 96, 17
+    else:
+        cfg = PipelineConfig.aetherv1()
+
+    key = jax.random.PRNGKey(0)
+    dit_params = init_dit_params(key, cfg.dit, dtype=dtype)
+    vae_params = init_vae_params(jax.random.fold_in(key, 1), cfg.vae, dtype=dtype)
+    _block(dit_params)
+    text = np.zeros((1, cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim),
+                    np.float32)
+    pipe = AetherPipeline(cfg, dit_params, vae_params, text, compute_dtype=dtype)
+
+    rng = np.random.default_rng(42)
+    video = (rng.uniform(0, 1, size=(num_frames, height, width, 3)) * 255).astype(
+        np.uint8
+    )
+    run_kwargs = dict(
+        task="reconstruction", video=video, height=height, width=width,
+        num_frames=num_frames, num_inference_steps=steps, fps=12, seed=42,
+    )
+
+    # ---- warmup / compile ----
+    t0 = time.perf_counter()
+    pipe(**run_kwargs)
+    compile_and_first_run_s = time.perf_counter() - t0
+
+    # ---- e2e timed runs ----
+    e2e_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pipe(**run_kwargs)
+        e2e_times.append(time.perf_counter() - t0)
+    e2e_s = float(np.median(e2e_times))
+
+    # ---- sub-metrics on the staged internals ----
+    from aether_tpu.models.rope import prepare_rotary_positional_embeddings
+    from aether_tpu.pipeline.aether import make_sampling_plan
+    from aether_tpu.utils.preprocess import preprocess_video
+
+    f_lat = (num_frames - 1) // cfg.vae_scale_factor_temporal + 1
+    pixels = jnp.asarray(preprocess_video(video, height, width))
+    plan = make_sampling_plan(cfg.scheduler, steps)
+    guidance = jnp.ones((steps,), jnp.float32)
+    cos, sin = prepare_rotary_positional_embeddings(
+        cfg.dit, height, width, f_lat,
+        vae_scale_factor_spatial=cfg.vae_scale_factor_spatial, fps=12,
+    )
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    k = jax.random.PRNGKey(7)
+
+    cond = _encode_pixels(cfg, dtype, vae_params, pixels, k)
+    _block(cond)
+    t0 = time.perf_counter()
+    cond = _encode_pixels(cfg, dtype, vae_params, pixels, k)
+    _block(cond)
+    vae_encode_s = time.perf_counter() - t0
+
+    h_lat = height // cfg.vae_scale_factor_spatial
+    w_lat = width // cfg.vae_scale_factor_spatial
+    camera = jnp.zeros((1, f_lat, 24, h_lat, w_lat), dtype)
+    cond_full = jnp.concatenate([cond, camera], axis=2)
+
+    latents = _denoise(cfg, pipe.attn_impl, dtype, "reconstruction", False,
+                       dit_params, pipe.empty_prompt_embeds, cond_full, plan,
+                       guidance, cos, sin, k)
+    _block(latents)
+    t0 = time.perf_counter()
+    latents = _denoise(cfg, pipe.attn_impl, dtype, "reconstruction", False,
+                       dit_params, pipe.empty_prompt_embeds, cond_full, plan,
+                       guidance, cos, sin, k)
+    _block(latents)
+    denoise_s = time.perf_counter() - t0
+
+    lat_c = cfg.vae.latent_channels
+    frames_out = _decode_pixels(cfg, dtype, vae_params, latents[:, :, :lat_c])
+    _block(frames_out)
+    t0 = time.perf_counter()
+    frames_out = _decode_pixels(cfg, dtype, vae_params, latents[:, :, :lat_c])
+    _block(frames_out)
+    vae_decode_s = time.perf_counter() - t0
+
+    result = {
+        "metric": "e2e_seconds_per_41f_480p_window",
+        "value": round(e2e_s, 3),
+        "unit": "s",
+        "vs_baseline": round(10.0 / e2e_s, 3),  # north-star: <10 s (BASELINE.md)
+        "denoise_steps_per_sec_per_chip": round(steps / denoise_s, 3),
+        "denoise_s": round(denoise_s, 3),
+        "vae_encode_s": round(vae_encode_s, 3),
+        "vae_decode_s": round(vae_decode_s, 3),
+        "vae_decode_fps": round(num_frames / vae_decode_s, 2),
+        "compile_plus_first_run_s": round(compile_and_first_run_s, 1),
+        "backend": backend,
+        "config": f"{num_frames}f x {height}x{width}, {steps} steps, "
+                  f"{cfg.dit.num_layers}L x {cfg.dit.hidden_size}d",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,19 +3,36 @@
 This is the TPU-native analogue of a fake distributed backend (SURVEY.md section 4):
 multi-chip sharding is exercised with ``--xla_force_host_platform_device_count=8``
 so tests never need real TPU hardware.
+
+Platform pinning is tricky on this machine image: sitecustomize force-sets
+JAX_PLATFORMS=axon, and typeguard's auto-loaded pytest plugin imports jax before
+conftest runs, so env vars alone arrive too late. ``jax.config.update`` still works
+as long as the backend itself has not been initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platform_name", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_backend():
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on CPU, got {jax.default_backend()}"
+    )
+    assert len(jax.devices()) == 8
 
 
 @pytest.fixture

@@ -131,3 +131,36 @@ def test_vae_posterior_sampling(tiny_vae):
     s2 = vae_encode(params, cfg, video, key=jax.random.PRNGKey(5))
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
     assert np.asarray(jnp.abs(mean - s1)).mean() < 5.0  # samples near the mean
+
+
+def test_vae_chunked_shapes_match_full(tiny_vae):
+    from aether_tpu.models import vae_decode_chunked, vae_encode_chunked
+
+    cfg, params = tiny_vae
+    video = jax.random.normal(jax.random.PRNGKey(7), (1, 17, 32, 32, 3)) * 0.1
+    full = vae_encode(params, cfg, video, sample_mode="argmax")
+    chunked = vae_encode_chunked(params, cfg, video, sample_mode="argmax",
+                                 frame_batch_size=8)
+    assert chunked.shape == full.shape  # (1, 5, 4, 4, C)
+    rec_full = vae_decode(params, cfg, full)
+    # reference framewise decode: 2 latent frames per chunk, first chunk odd
+    rec_chunked = vae_decode_chunked(params, cfg, full, frame_batch_size=2)
+    assert rec_chunked.shape == rec_full.shape == (1, 17, 32, 32, 3)
+
+
+def test_conv_cache_is_exact():
+    """Chunked processing with ConvCache must equal full-clip for a causal conv."""
+    from aether_tpu.models.vae import ConvCache, causal_conv3d
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 9, 8, 8, 4))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, 4, 6)) * 0.1
+    b = jnp.zeros((6,))
+    full = causal_conv3d(x, w, b)
+
+    c1 = ConvCache(None)
+    y1 = c1.conv(x[:, :5], w, b, "c")
+    c2 = ConvCache(c1.cache_out)
+    y2 = c2.conv(x[:, 5:], w, b, "c")
+    chunked = jnp.concatenate([y1, y2], axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)

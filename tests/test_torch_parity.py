@@ -1,0 +1,220 @@
+"""Cross-framework parity: JAX DiT vs an independent torch implementation.
+
+The torch model below is written directly from the published CogVideoX
+architecture spec (adaLN-Zero joint blocks, per-head QK LayerNorm, interleaved
+RoPE on video tokens, GELU-tanh MLP, final AdaLN head) with upstream state-dict
+naming — so one test validates both ``convert_dit_state_dict``'s name mapping and
+the JAX forward math against a second, independently-written implementation.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from aether_tpu.config import DiTConfig
+from aether_tpu.io.weights import convert_dit_state_dict
+from aether_tpu.models.dit import dit_forward
+from aether_tpu.models.rope import prepare_rotary_positional_embeddings
+
+torch.manual_seed(0)
+
+
+class _GELUProj(nn.Module):
+    def __init__(self, din, dout):
+        super().__init__()
+        self.proj = nn.Linear(din, dout)
+
+    def forward(self, x):
+        return F.gelu(self.proj(x), approximate="tanh")
+
+
+class _FeedForward(nn.Module):
+    def __init__(self, dim, mult=4):
+        super().__init__()
+        self.net = nn.ModuleList(
+            [_GELUProj(dim, dim * mult), nn.Identity(), nn.Linear(dim * mult, dim)]
+        )
+
+    def forward(self, x):
+        for m in self.net:
+            x = m(x)
+        return x
+
+
+class _Attention(nn.Module):
+    def __init__(self, dim, heads, head_dim):
+        super().__init__()
+        self.heads, self.head_dim = heads, head_dim
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(dim, dim)
+        self.to_v = nn.Linear(dim, dim)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim)])
+        self.norm_q = nn.LayerNorm(head_dim, eps=1e-6)
+        self.norm_k = nn.LayerNorm(head_dim, eps=1e-6)
+
+
+class _NormZero(nn.Module):
+    def __init__(self, cond_dim, dim):
+        super().__init__()
+        self.linear = nn.Linear(cond_dim, 6 * dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-5)
+
+
+class _AdaNorm(nn.Module):
+    def __init__(self, cond_dim, dim):
+        super().__init__()
+        self.linear = nn.Linear(cond_dim, 2 * dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-5)
+
+
+class _Block(nn.Module):
+    def __init__(self, dim, cond_dim, heads, head_dim):
+        super().__init__()
+        self.norm1 = _NormZero(cond_dim, dim)
+        self.attn1 = _Attention(dim, heads, head_dim)
+        self.norm2 = _NormZero(cond_dim, dim)
+        self.ff = _FeedForward(dim)
+
+
+class _PatchEmbed(nn.Module):
+    def __init__(self, cin, dim, text_dim, p):
+        super().__init__()
+        self.proj = nn.Conv2d(cin, dim, kernel_size=p, stride=p)
+        self.text_proj = nn.Linear(text_dim, dim)
+
+
+class _TimeEmbedding(nn.Module):
+    def __init__(self, dim, tdim):
+        super().__init__()
+        self.linear_1 = nn.Linear(dim, tdim)
+        self.linear_2 = nn.Linear(tdim, tdim)
+
+
+class TorchDiTRef(nn.Module):
+    """Independent torch implementation with upstream state-dict naming."""
+
+    def __init__(self, cfg: DiTConfig):
+        super().__init__()
+        d = cfg.hidden_size
+        self.cfg = cfg
+        self.patch_embed = _PatchEmbed(cfg.in_channels, d, cfg.text_embed_dim,
+                                       cfg.patch_size)
+        self.time_embedding = _TimeEmbedding(d, cfg.time_embed_dim)
+        self.transformer_blocks = nn.ModuleList(
+            [_Block(d, cfg.time_embed_dim, cfg.num_heads, cfg.head_dim)
+             for _ in range(cfg.num_layers)]
+        )
+        self.norm_final = nn.LayerNorm(d, eps=1e-5)
+        self.norm_out = _AdaNorm(cfg.time_embed_dim, d)
+        self.proj_out = nn.Linear(d, cfg.patch_size**2 * cfg.out_channels)
+
+    @staticmethod
+    def _rope(x, cos, sin):
+        # interleaved-pair rotation on [B, H, S, D]
+        xr = x.reshape(*x.shape[:-1], -1, 2)
+        rot = torch.stack([-xr[..., 1], xr[..., 0]], dim=-1).reshape(x.shape)
+        return x * cos[None, None] + rot * sin[None, None]
+
+    def forward(self, hidden, text, timestep, cos, sin):
+        cfg = self.cfg
+        b, f, c, h, w = hidden.shape
+        p = cfg.patch_size
+        d = cfg.hidden_size
+
+        # sinusoidal timestep embedding, flip_sin_to_cos=True, shift=0
+        half = d // 2
+        expo = -math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half
+        ang = timestep.float()[:, None] * torch.exp(expo)[None]
+        temb_sin = torch.cat([ang.sin(), ang.cos()], dim=-1)
+        temb_sin = torch.cat([temb_sin[:, half:], temb_sin[:, :half]], dim=-1)
+        temb = self.time_embedding.linear_2(
+            F.silu(self.time_embedding.linear_1(temb_sin))
+        )
+
+        vid = self.patch_embed.proj(hidden.reshape(b * f, c, h, w))
+        vid = vid.flatten(2).transpose(1, 2).reshape(b, -1, d)
+        txt = self.patch_embed.text_proj(text)
+        tlen = txt.shape[1]
+
+        for blk in self.transformer_blocks:
+            ada = blk.norm1.linear(F.silu(temb))
+            sh, sc, gate, esh, esc, egate = ada.chunk(6, dim=1)
+            nh = blk.norm1.norm(vid) * (1 + sc[:, None]) + sh[:, None]
+            ne = blk.norm1.norm(txt) * (1 + esc[:, None]) + esh[:, None]
+
+            x = torch.cat([ne, nh], dim=1)
+            s = x.shape[1]
+            a = blk.attn1
+
+            def heads(t):
+                return t.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(1, 2)
+
+            q = a.norm_q(heads(a.to_q(x)))
+            k = a.norm_k(heads(a.to_k(x)))
+            v = heads(a.to_v(x))
+            q = torch.cat([q[:, :, :tlen], self._rope(q[:, :, tlen:], cos, sin)], 2)
+            k = torch.cat([k[:, :, :tlen], self._rope(k[:, :, tlen:], cos, sin)], 2)
+            attn = F.scaled_dot_product_attention(q, k, v)
+            attn = attn.transpose(1, 2).reshape(b, s, d)
+            out = a.to_out[0](attn)
+            vid = vid + gate[:, None] * out[:, tlen:]
+            txt = txt + egate[:, None] * out[:, :tlen]
+
+            ada = blk.norm2.linear(F.silu(temb))
+            sh, sc, gate, esh, esc, egate = ada.chunk(6, dim=1)
+            nh = blk.norm2.norm(vid) * (1 + sc[:, None]) + sh[:, None]
+            ne = blk.norm2.norm(txt) * (1 + esc[:, None]) + esh[:, None]
+            ff = blk.ff(torch.cat([ne, nh], dim=1))
+            vid = vid + gate[:, None] * ff[:, tlen:]
+            txt = txt + egate[:, None] * ff[:, :tlen]
+
+        joint = self.norm_final(torch.cat([txt, vid], dim=1))
+        x = joint[:, tlen:]
+        sh, sc = self.norm_out.linear(F.silu(temb)).chunk(2, dim=1)
+        x = self.norm_out.norm(x) * (1 + sc[:, None]) + sh[:, None]
+        x = self.proj_out(x)
+
+        hp, wp = h // p, w // p
+        x = x.reshape(b, f, hp, wp, cfg.out_channels, p, p)
+        x = x.permute(0, 1, 4, 2, 5, 3, 6)
+        return x.reshape(b, f, cfg.out_channels, hp * p, wp * p)
+
+
+@pytest.mark.parametrize("timestep", [999, 17])
+def test_dit_matches_torch_reference(timestep):
+    cfg = DiTConfig.tiny()
+    model = TorchDiTRef(cfg).eval()
+
+    jax_params = convert_dit_state_dict(model.state_dict(), cfg)
+    jax_params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x, np.float32)), jax_params
+    )
+
+    b, f, h, w = 1, 2, 8, 12
+    rng = np.random.default_rng(3)
+    hidden = rng.normal(size=(b, f, cfg.in_channels, h, w)).astype(np.float32)
+    text = rng.normal(size=(b, 8, cfg.text_embed_dim)).astype(np.float32)
+    cos, sin = prepare_rotary_positional_embeddings(
+        cfg, h * 8, w * 8, f, vae_scale_factor_spatial=8, fps=12
+    )
+
+    with torch.no_grad():
+        ref = model(
+            torch.from_numpy(hidden), torch.from_numpy(text),
+            torch.tensor([timestep]),
+            torch.from_numpy(cos), torch.from_numpy(sin),
+        ).numpy()
+
+    out = np.asarray(
+        dit_forward(jax_params, cfg, jnp.asarray(hidden), jnp.asarray(text),
+                    jnp.array([timestep]), cos, sin, attn_impl="xla")
+    )
+    assert out.shape == ref.shape
+    # tolerance dominated by JAX's default (bf16-pass) matmul precision
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-3)
