@@ -1,0 +1,142 @@
+"""Tests for the viz/export layer: PLY, GLB, colorize, video fallback."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from aether_tpu.viz import (
+    colorize_depth,
+    depth_video_frames,
+    predictions_to_glb,
+    save_ply,
+    save_video,
+    write_ply,
+)
+
+
+def _parse_ply(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:header_end].decode("ascii")
+    n = int([ln for ln in header.splitlines() if ln.startswith("element vertex")][0]
+            .split()[-1])
+    dtype = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                      ("red", "u1"), ("green", "u1"), ("blue", "u1")])
+    body = np.frombuffer(data[header_end:], dtype=dtype, count=n)
+    return header, body
+
+
+def test_ply_roundtrip(tmp_path):
+    pts = np.arange(30, dtype=np.float32).reshape(10, 3)
+    cols = np.arange(30, dtype=np.uint8).reshape(10, 3)
+    path = str(tmp_path / "cloud.ply")
+    write_ply(path, pts, cols)
+    header, body = _parse_ply(path)
+    assert "format binary_little_endian" in header
+    np.testing.assert_allclose(
+        np.stack([body["x"], body["y"], body["z"]], -1), pts
+    )
+    np.testing.assert_array_equal(
+        np.stack([body["red"], body["green"], body["blue"]], -1), cols
+    )
+
+
+def test_save_ply_downsample_and_mask(tmp_path):
+    rng = np.random.default_rng(0)
+    pointmap = rng.normal(size=(2, 8, 12, 3)).astype(np.float32)
+    image = rng.uniform(0, 255, size=(2, 8, 12, 3))
+    mask = np.zeros((2, 8, 12), bool)
+    mask[:, :4] = True  # keep half the pixels
+    path = str(tmp_path / "pm.ply")
+    save_ply(pointmap, image, path, downsample=4, mask=mask)
+    _, body = _parse_ply(path)
+    assert len(body) == (2 * 4 * 12) // 4
+
+
+def _parse_glb(data: bytes):
+    magic, version, total = struct.unpack_from("<III", data, 0)
+    assert magic == 0x46546C67 and version == 2 and total == len(data)
+    json_len, json_type = struct.unpack_from("<II", data, 12)
+    assert json_type == 0x4E4F534A
+    gltf = json.loads(data[20 : 20 + json_len])
+    bin_off = 20 + json_len
+    bin_len, bin_type = struct.unpack_from("<II", data, bin_off)
+    assert bin_type == 0x004E4942
+    blob = data[bin_off + 8 : bin_off + 8 + bin_len]
+    assert gltf["buffers"][0]["byteLength"] == len(blob)
+    return gltf, blob
+
+
+def test_glb_structure_and_point_recovery():
+    rng = np.random.default_rng(1)
+    t, h, w = 2, 6, 8
+    preds = {
+        "world_points": rng.normal(size=(t, h, w, 3)).astype(np.float32),
+        "images": rng.uniform(0, 1, size=(t, h, w, 3)),
+        "depths": np.full((t, h, w), 2.0),
+        "camera_poses": np.broadcast_to(np.eye(4), (t, 4, 4)).copy(),
+    }
+    builder = predictions_to_glb(preds, show_cam=True)
+    gltf, blob = _parse_glb(builder.to_bytes())
+
+    # 1 point cloud + t camera glyphs
+    assert len(gltf["meshes"]) == 1 + t
+    points_prim = gltf["meshes"][0]["primitives"][0]
+    assert points_prim["mode"] == 0
+    acc = gltf["accessors"][points_prim["attributes"]["POSITION"]]
+    view = gltf["bufferViews"][acc["bufferView"]]
+    pts = np.frombuffer(
+        blob[view["byteOffset"] : view["byteOffset"] + view["byteLength"]],
+        np.float32,
+    ).reshape(-1, 3)
+    # constant depth 2.0 -> no edges, all in front of max_depth: all points kept
+    assert pts.shape[0] == t * h * w
+    np.testing.assert_allclose(pts, preds["world_points"].reshape(-1, 3))
+    # accessor min/max must bound the data (required by spec for POSITION)
+    np.testing.assert_allclose(acc["min"], pts.min(axis=0), rtol=1e-6)
+    np.testing.assert_allclose(acc["max"], pts.max(axis=0), rtol=1e-6)
+    # camera glyph: triangles with indices
+    cam_prim = gltf["meshes"][1]["primitives"][0]
+    assert cam_prim["mode"] == 4 and "indices" in cam_prim
+
+
+def test_glb_masks_far_and_edge_points(tmp_path):
+    t, h, w = 1, 8, 8
+    depths = np.full((t, h, w), 1.0)
+    depths[:, :, 4:] = 200.0  # beyond max_depth=100
+    preds = {
+        "world_points": np.zeros((t, h, w, 3), np.float32),
+        "images": np.zeros((t, h, w, 3)),
+        "depths": depths,
+        "camera_poses": np.broadcast_to(np.eye(4), (t, 4, 4)).copy(),
+    }
+    builder = predictions_to_glb(preds, show_cam=False)
+    gltf, _ = _parse_glb(builder.to_bytes())
+    n = gltf["accessors"][
+        gltf["meshes"][0]["primitives"][0]["attributes"]["POSITION"]
+    ]["count"]
+    assert n < t * h * w  # far points dropped
+    path = tmp_path / "scene.glb"
+    builder.write(str(path))
+    assert path.stat().st_size > 12
+
+
+def test_colorize_depth_range():
+    depth = np.array([[0.5, 1.0], [2.0, 0.0]])  # one invalid (0) pixel
+    rgb = colorize_depth(depth)
+    assert rgb.shape == (2, 2, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    frames = depth_video_frames(np.stack([depth, depth]))
+    assert frames.shape == (2, 2, 2, 3) and frames.dtype == np.uint8
+
+
+def test_save_video_fallback(tmp_path):
+    frames = np.zeros((3, 16, 16, 3), np.uint8)
+    out = save_video(tmp_path / "clip.mp4", frames, fps=12)
+    # mp4 backend missing in this image -> falls back, but something is written
+    import os
+
+    assert os.path.exists(out)
