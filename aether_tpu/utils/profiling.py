@@ -1,0 +1,68 @@
+"""First-class tracing & per-stage timing (SURVEY.md section 5).
+
+The reference has no profiling beyond tqdm bars; the TPU build makes
+observability first-class: ``stage_timer`` wraps host-side stages with
+wall-clock accounting (accumulated in a global registry, queryable via
+``stage_report``), and ``device_trace`` wraps a block in a ``jax.profiler``
+trace + named TraceAnnotation so device timelines line up with host stages.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, Optional
+
+logger = logging.getLogger("aether_tpu")
+
+_STAGE_TOTALS: Dict[str, float] = defaultdict(float)
+_STAGE_COUNTS: Dict[str, int] = defaultdict(int)
+
+
+@contextlib.contextmanager
+def stage_timer(name: str, log: bool = True) -> Iterator[None]:
+    """Time a host-side stage; accumulates into the global stage report."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        _STAGE_TOTALS[name] += dt
+        _STAGE_COUNTS[name] += 1
+        if log:
+            logger.info("stage %s: %.3fs", name, dt)
+
+
+def stage_report(reset: bool = False) -> Dict[str, Dict[str, float]]:
+    """Accumulated {stage: {total_s, count, mean_s}} since the last reset."""
+    report = {
+        name: {
+            "total_s": total,
+            "count": _STAGE_COUNTS[name],
+            "mean_s": total / max(_STAGE_COUNTS[name], 1),
+        }
+        for name, total in _STAGE_TOTALS.items()
+    }
+    if reset:
+        _STAGE_TOTALS.clear()
+        _STAGE_COUNTS.clear()
+    return report
+
+
+@contextlib.contextmanager
+def device_trace(
+    name: str, trace_dir: Optional[str] = None
+) -> Iterator[None]:
+    """Annotate a block on the device timeline; optionally write a full
+    ``jax.profiler`` trace (viewable in TensorBoard / Perfetto) to trace_dir."""
+    import jax
+
+    ctx = contextlib.ExitStack()
+    if trace_dir is not None:
+        ctx.enter_context(jax.profiler.trace(trace_dir))
+    ctx.enter_context(jax.profiler.TraceAnnotation(name))
+    with ctx:
+        with stage_timer(name, log=False):
+            yield
