@@ -1,0 +1,371 @@
+"""Web serving app: browser UI + JSON API over the Aether pipeline.
+
+Capability parity with reference ``scripts/demo_gradio.py`` (1965 LoC): the
+same three tasks behind a queued web front-end with sliders for frames / fps /
+steps / stride / CFG, canned raymap actions for prediction, and downloadable
+GLB / video artifacts. The reference uses Gradio (unavailable in this image);
+this is a dependency-free stdlib ``http.server`` implementation:
+
+- ``GET /``              single-page UI
+- ``POST /api/submit``   multipart form (task, files, params) -> {"job_id"}
+- ``GET /api/status/ID`` -> {"status", "artifacts": [...]} (poll)
+- ``GET /outputs/...``   artifact downloads
+- ``GET /api/raymaps``   canned raymap action names
+
+Jobs run on a single worker thread (the TPU is a serial resource), queue
+bounded at 20 like the reference's ``demo.queue(max_size=20)``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import queue
+import threading
+import traceback
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+_INDEX_HTML = """<!doctype html>
+<html><head><title>Aether-TPU</title><style>
+body{font-family:sans-serif;max-width:760px;margin:2em auto;padding:0 1em}
+fieldset{margin:1em 0;border:1px solid #ccc;border-radius:6px}
+label{display:block;margin:.5em 0}.row{display:flex;gap:1em;flex-wrap:wrap}
+#log{white-space:pre-wrap;background:#f6f6f6;padding:1em;border-radius:6px}
+a{display:block}</style></head><body>
+<h1>Aether-TPU world model</h1>
+<form id="f">
+<fieldset><legend>Task</legend>
+<label><input type="radio" name="task" value="reconstruction" checked> 4D reconstruction (video)</label>
+<label><input type="radio" name="task" value="prediction"> Action-conditioned prediction (image + raymap)</label>
+<label><input type="radio" name="task" value="planning"> Goal-conditioned planning (image + goal)</label>
+</fieldset>
+<fieldset><legend>Inputs</legend>
+<label>Video (reconstruction): <input type="file" name="video"></label>
+<label>Image (prediction/planning): <input type="file" name="image"></label>
+<label>Goal image (planning): <input type="file" name="goal"></label>
+<label>Raymap action: <select name="raymap"><option value="">none</option></select></label>
+</fieldset>
+<fieldset><legend>Parameters</legend><div class="row">
+<label>frames <select name="num_frames"><option>17</option><option>25</option>
+<option>33</option><option selected>41</option></select></label>
+<label>fps <select name="fps"><option>8</option><option>10</option>
+<option selected>12</option><option>15</option><option>24</option></select></label>
+<label>steps <input name="steps" type="number" value="" placeholder="task default" style="width:5em"></label>
+<label>stride <input name="stride" type="number" value="24" style="width:4em"></label>
+<label>cfg <input name="cfg" type="number" step="0.5" value="" placeholder="task default" style="width:4em"></label>
+</div></fieldset>
+<button type="submit">Run</button></form>
+<h2>Result</h2><div id="log">idle</div><div id="artifacts"></div>
+<script>
+fetch('/api/raymaps').then(r=>r.json()).then(names=>{
+  const sel=document.querySelector('[name=raymap]');
+  names.forEach(n=>{const o=document.createElement('option');o.textContent=n;sel.append(o);});});
+document.getElementById('f').addEventListener('submit', async ev=>{
+  ev.preventDefault();
+  const log=document.getElementById('log'); log.textContent='submitting...';
+  const res=await fetch('/api/submit',{method:'POST',body:new FormData(ev.target)});
+  const {job_id,error}=await res.json();
+  if(error){log.textContent='error: '+error;return;}
+  const poll=async()=>{
+    const s=await (await fetch('/api/status/'+job_id)).json();
+    log.textContent=JSON.stringify(s,null,2);
+    if(s.status==='done'){
+      const div=document.getElementById('artifacts'); div.innerHTML='';
+      s.artifacts.forEach(a=>{const l=document.createElement('a');
+        l.href=a;l.textContent=a;l.download='';div.append(l);});
+    } else if(s.status!=='error') setTimeout(poll,2000);
+  }; poll();});
+</script></body></html>"""
+
+
+class JobRunner:
+    """Single worker thread executing queued pipeline jobs."""
+
+    def __init__(self, pipeline, output_dir: str, max_queue: int = 20):
+        self.pipeline = pipeline
+        self.output_dir = output_dir
+        self.jobs: Dict[str, dict] = {}
+        self.queue: "queue.Queue[str]" = queue.Queue(maxsize=max_queue)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, params: dict) -> str:
+        job_id = uuid.uuid4().hex[:12]
+        self.jobs[job_id] = {"status": "queued", "params": params,
+                             "artifacts": []}
+        self.queue.put_nowait(job_id)  # raises queue.Full when saturated
+        return job_id
+
+    def status(self, job_id: str) -> Optional[dict]:
+        job = self.jobs.get(job_id)
+        if job is None:
+            return None
+        return {"status": job["status"], "artifacts": job["artifacts"],
+                "error": job.get("error")}
+
+    def _worker(self) -> None:
+        while True:
+            job_id = self.queue.get()
+            job = self.jobs[job_id]
+            job["status"] = "running"
+            try:
+                job["artifacts"] = self._run(job_id, job["params"])
+                job["status"] = "done"
+            except Exception as exc:
+                job["status"] = "error"
+                job["error"] = f"{exc}"
+                job["trace"] = traceback.format_exc()
+
+    def _run(self, job_id: str, params: dict) -> list:
+        from aether_tpu.apps.demo import save_output
+        from aether_tpu.pipeline.windowing import (
+            blend_and_merge_window_results,
+            get_window_starts,
+        )
+
+        task = params["task"]
+        job_dir = os.path.join(self.output_dir, job_id)
+        os.makedirs(job_dir, exist_ok=True)
+
+        height = params.get("height", 480)
+        width = params.get("width", 720)
+        num_frames = int(params.get("num_frames", 41))
+        fps = int(params.get("fps", 12))
+        steps = params.get("steps")
+        cfg = params.get("cfg")
+        raymap = params.get("raymap_array")
+
+        ns = argparse.Namespace(
+            task=task, output_dir=job_dir, height=height, width=width,
+            max_depth=100.0, rtol=0.2, smooth_camera=True,
+            smooth_method="kalman", align_pointmaps=False,
+            pointcloud_save_frame_interval=10,
+            video="upload.mp4", image="upload.png", goal="goal.png",
+        )
+
+        if task == "reconstruction":
+            video = params["video_array"]
+            stride = int(params.get("stride", 24))
+            window_results, window_indices = [], get_window_starts(
+                len(video), num_frames, stride
+            )
+            for start in window_indices:
+                out = self.pipeline(
+                    task=task, video=video[start : start + num_frames],
+                    raymap=raymap[start : start + num_frames]
+                    if raymap is not None else None,
+                    height=height, width=width, num_frames=num_frames,
+                    fps=fps, num_inference_steps=steps, guidance_scale=1.0,
+                    use_dynamic_cfg=False, seed=42,
+                )
+                window_results.append(out)
+            rgb, disparity, poses, pointmaps = blend_and_merge_window_results(
+                window_results, window_indices, height, width,
+            )
+            written = save_output(rgb, disparity, ns, poses=poses,
+                                  pointmap=pointmaps)
+        else:
+            out = self.pipeline(
+                task=task, image=params["image_array"],
+                goal=params.get("goal_array"), raymap=raymap,
+                height=height, width=width, num_frames=num_frames, fps=fps,
+                num_inference_steps=steps, guidance_scale=cfg,
+                use_dynamic_cfg=True, seed=42,
+            )
+            recon = self.pipeline(  # post-reconstruction refinement
+                task="reconstruction", video=out.rgb, height=height,
+                width=width, num_frames=num_frames, fps=fps,
+                num_inference_steps=4, guidance_scale=1.0,
+                use_dynamic_cfg=False, seed=42,
+            )
+            written = save_output(out.rgb, recon.disparity, ns,
+                                  raymap=recon.raymap)
+
+        artifacts = []
+        for value in written.values():
+            for path in value if isinstance(value, list) else [value]:
+                rel = os.path.relpath(path, self.output_dir)
+                artifacts.append(f"/outputs/{rel}")
+        return artifacts
+
+
+def _parse_multipart(handler: BaseHTTPRequestHandler) -> dict:
+    """Minimal multipart/form-data parser (fields + file payloads)."""
+    import email
+    import email.policy
+
+    length = int(handler.headers.get("Content-Length", 0))
+    body = handler.rfile.read(length)
+    content_type = handler.headers.get("Content-Type", "")
+    msg = email.message_from_bytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body,
+        policy=email.policy.HTTP,
+    )
+    fields: dict = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        payload = part.get_payload(decode=True)
+        filename = part.get_filename()
+        if filename:
+            if payload:
+                fields[name] = {"filename": filename, "data": payload}
+        else:
+            fields[name] = payload.decode("utf-8", "replace").strip()
+    return fields
+
+
+def make_handler(runner: JobRunner, raymap_dir: Optional[str]):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                data = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif self.path == "/api/raymaps":
+                names = []
+                if raymap_dir and os.path.isdir(raymap_dir):
+                    names = sorted(
+                        os.path.splitext(f)[0].replace("raymap_", "")
+                        for f in os.listdir(raymap_dir) if f.endswith(".npy")
+                    )
+                self._json(names)
+            elif self.path.startswith("/api/status/"):
+                status = runner.status(self.path.rsplit("/", 1)[-1])
+                if status is None:
+                    self._json({"error": "unknown job"}, 404)
+                else:
+                    self._json(status)
+            elif self.path.startswith("/outputs/"):
+                rel = os.path.normpath(self.path[len("/outputs/"):])
+                full = os.path.join(runner.output_dir, rel)
+                if rel.startswith("..") or not os.path.isfile(full):
+                    self._json({"error": "not found"}, 404)
+                    return
+                with open(full, "rb") as f:
+                    data = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            if self.path != "/api/submit":
+                self._json({"error": "not found"}, 404)
+                return
+            try:
+                fields = _parse_multipart(self)
+                params = _fields_to_params(fields, raymap_dir)
+                job_id = runner.submit(params)
+                self._json({"job_id": job_id})
+            except queue.Full:
+                self._json({"error": "queue full (max 20)"}, 429)
+            except Exception as exc:
+                self._json({"error": str(exc)}, 400)
+
+    return Handler
+
+
+def _decode_image(file_field: dict) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(
+        Image.open(io.BytesIO(file_field["data"])).convert("RGB")
+    )
+
+
+def _decode_video(file_field: dict) -> np.ndarray:
+    import imageio.v3 as iio
+
+    ext = os.path.splitext(file_field["filename"])[1] or ".mp4"
+    return (
+        np.asarray(iio.imread(file_field["data"], extension=ext)).astype(
+            np.float32
+        )
+        / 255.0
+    )
+
+
+def _fields_to_params(fields: dict, raymap_dir: Optional[str]) -> dict:
+    task = fields.get("task")
+    if task not in ("reconstruction", "prediction", "planning"):
+        raise ValueError(f"invalid task {task!r}")
+    params: dict = {"task": task}
+    for key in ("num_frames", "fps", "stride", "height", "width"):
+        if fields.get(key):
+            params[key] = int(fields[key])
+    if fields.get("steps"):
+        params["steps"] = int(fields["steps"])
+    if fields.get("cfg"):
+        params["cfg"] = float(fields["cfg"])
+    if task == "reconstruction":
+        if "video" not in fields:
+            raise ValueError("reconstruction requires a video upload")
+        params["video_array"] = _decode_video(fields["video"])
+    else:
+        if "image" not in fields:
+            raise ValueError(f"{task} requires an image upload")
+        params["image_array"] = _decode_image(fields["image"])
+        if task == "planning":
+            if "goal" not in fields:
+                raise ValueError("planning requires a goal image upload")
+            params["goal_array"] = _decode_image(fields["goal"])
+    name = fields.get("raymap")
+    if name:
+        path = os.path.join(raymap_dir or "", f"raymap_{name}.npy")
+        if not os.path.isfile(path):
+            raise ValueError(f"unknown raymap action {name!r}")
+        params["raymap_array"] = np.load(path)
+    return params
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Aether-TPU web server")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--output_dir", type=str, default="serve_outputs")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--random-init", dest="random_init", type=str, default=None,
+                   choices=["tiny", "aetherv1"])
+    p.add_argument("--raymap_dir", type=str, default=None,
+                   help="Directory of canned raymap_<name>.npy actions.")
+    args = p.parse_args(argv)
+
+    from aether_tpu.apps.demo import build_pipeline
+
+    pipeline, _ = build_pipeline(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+    runner = JobRunner(pipeline, args.output_dir)
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(runner, args.raymap_dir)
+    )
+    print(f"serving on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
