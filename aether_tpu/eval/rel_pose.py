@@ -181,10 +181,12 @@ def run_sequences(
     seed: int = 42,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    resume: bool = False,
     **window_kwargs,
 ) -> List[str]:
     """Run this host's shard; writes per-seq pred_traj.txt / pred_focal.txt /
-    eval_metric.txt (+ trajectory plot when GT is available)."""
+    eval_metric.txt (+ trajectory plot when GT is available). With ``resume``,
+    sequences with an existing pred_traj.txt are skipped."""
     from aether_tpu.eval.datasets import sequence_frames
 
     meta = REL_POSE_DATASETS[dataset]
@@ -197,6 +199,11 @@ def run_sequences(
     error_log = os.path.join(output_dir, f"_error_log_{rank}.txt")
     done = []
     for seq in mine:
+        if resume and os.path.isfile(
+            os.path.join(output_dir, seq, "pred_traj.txt")
+        ):
+            done.append(seq)
+            continue
         try:
             frames = sequence_frames(meta, img_path, seq, pose_eval_stride)
             with stage_timer(f"rel_pose/{seq}"):
@@ -265,6 +272,8 @@ def main(argv=None) -> None:
     p.add_argument("--temporal_stride", type=int, default=32)
     p.add_argument("--target", type=int, nargs=2, default=(480, 720),
                    metavar=("H", "W"))
+    p.add_argument("--resume", action="store_true",
+                   help="Skip sequences whose pred_traj.txt already exists.")
     args = p.parse_args(argv)
 
     meta = REL_POSE_DATASETS[args.eval_dataset]
@@ -279,7 +288,7 @@ def main(argv=None) -> None:
                       num_inference_steps=args.num_inference_step,
                       seed=args.seed, window_frames=args.window_frames,
                       temporal_stride=args.temporal_stride,
-                      target=tuple(args.target))
+                      target=tuple(args.target), resume=args.resume)
 
     out = aggregate(args.output_dir)
     print(json.dumps(out["average"], ensure_ascii=False))

@@ -203,12 +203,15 @@ def run_sequences(
     seed: int = 3407,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    resume: bool = False,
     **window_kwargs,
 ) -> List[str]:
     """Run sliding-window depth inference for this host's shard of sequences.
 
     Writes ``<output_dir>/<seq>/frame_%04d.npy`` depth maps + preview videos;
-    failures are appended to a per-rank error log and skipped.
+    failures are appended to a per-rank error log and skipped. With ``resume``,
+    sequences whose outputs already exist are skipped (the reference's
+    ``skip_condition`` resumable-eval hook, ``video_depth/metadata.py:18``).
     """
     from aether_tpu.viz import depth_video_frames, save_video
 
@@ -218,6 +221,15 @@ def run_sequences(
     error_log = os.path.join(output_dir, f"_error_log_{rank}.txt")
     done = []
     for seq in mine:
+        if resume:
+            existing = len(
+                [f for f in os.listdir(os.path.join(output_dir, seq))
+                 if f.startswith("frame_")]
+                if os.path.isdir(os.path.join(output_dir, seq)) else []
+            )
+            if existing >= len(frame_lists[seq]):
+                done.append(seq)
+                continue
         try:
             with stage_timer(f"video_depth/{seq}"):
                 video = prepare_input(
@@ -338,6 +350,8 @@ def main(argv=None) -> None:
                    metavar=("H", "W"))
     p.add_argument("--spatial_overlap", type=int, nargs=2, default=(60, 90),
                    metavar=("H", "W"))
+    p.add_argument("--resume", action="store_true",
+                   help="Skip sequences whose outputs already exist.")
     args = p.parse_args(argv)
 
     meta = VIDEO_DEPTH_DATASETS[args.eval_dataset]
@@ -355,7 +369,8 @@ def main(argv=None) -> None:
                       seed=args.seed, window_frames=args.window_frames,
                       temporal_stride=args.temporal_stride,
                       tile=tuple(args.tile),
-                      spatial_overlap=tuple(args.spatial_overlap))
+                      spatial_overlap=tuple(args.spatial_overlap),
+                      resume=args.resume)
 
     result = evaluate_depth_predictions(
         args.output_dir, args.eval_dataset, args.data_root, align=args.align

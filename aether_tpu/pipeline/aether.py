@@ -154,6 +154,95 @@ def _encode_pixels(
     return (lat * scale).astype(dtype)
 
 
+def _tile_spans(n: int, tile: int, min_overlap: int) -> list:
+    """Uniform-size tile spans covering [0, n) with >= min_overlap overlap.
+
+    Every span has EXACTLY ``tile`` extent (edge tiles slide back), so the
+    decoder compiles ONE tile shape — unlike diffusers' ragged edge tiles
+    which would force a recompile per remainder shape.
+    """
+    if n <= tile:
+        return [(0, n)]
+    count = math.ceil((n - tile) / (tile - min_overlap)) + 1
+    stride = (n - tile) / (count - 1)
+    return [
+        (min(int(round(i * stride)), n - tile),
+         min(int(round(i * stride)), n - tile) + tile)
+        for i in range(count)
+    ]
+
+
+def _feather(prev: jnp.ndarray, curr: jnp.ndarray, prev_end: int,
+             span: Tuple[int, int], axis: int) -> jnp.ndarray:
+    """Stitch ``curr`` (covering span) onto ``prev`` (covering [0, prev_end))
+    along ``axis`` with a linear cross-fade over the overlap."""
+    start, end = span
+    overlap = prev_end - start
+
+    def sl(arr, a, b):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(a, b)
+        return arr[tuple(idx)]
+
+    w_shape = [1] * prev.ndim
+    w_shape[axis] = overlap
+    weight = jnp.linspace(1.0, 0.0, overlap).reshape(w_shape)
+    blended = sl(prev, start, prev_end) * weight + sl(curr, 0, overlap) * (
+        1.0 - weight
+    )
+    return jnp.concatenate(
+        [sl(prev, 0, start), blended, sl(curr, overlap, end - start)], axis=axis
+    )
+
+
+def _decode_pixels_tiled(
+    config: PipelineConfig,
+    dtype,
+    vae_params: Dict[str, Any],
+    latents_16: jnp.ndarray,  # (1, F_lat, C, h, w) scaled
+    frame_batch_size: int = 2,
+    tile_latent: Tuple[int, int] = (32, 48),
+    min_overlap: Tuple[int, int] = (8, 12),
+) -> jnp.ndarray:
+    """Spatially-tiled chunked decode for memory-constrained chips.
+
+    The reference enables diffusers VAE tiling for the same reason
+    (``scripts/demo.py:229-230``). Tiles are uniform-shape (single compiled
+    decode graph), seams feather-blended in pixel space with linear ramps.
+    """
+    s = config.vae_scale_factor_spatial
+    h_lat, w_lat = latents_16.shape[-2:]
+    row_spans = _tile_spans(h_lat, tile_latent[0], min_overlap[0])
+    col_spans = _tile_spans(w_lat, tile_latent[1], min_overlap[1])
+    if len(row_spans) == 1 and len(col_spans) == 1:
+        return _decode_pixels(config, dtype, vae_params, latents_16,
+                              frame_batch_size)
+
+    merged_rows = None
+    rows_prev_end = 0
+    for r0, r1 in row_spans:
+        merged = None
+        prev_end = 0
+        for c0, c1 in col_spans:
+            tile = _decode_pixels(
+                config, dtype, vae_params, latents_16[:, :, :, r0:r1, c0:c1],
+                frame_batch_size,
+            )
+            if merged is None:
+                merged = tile
+            else:
+                merged = _feather(merged, tile, prev_end * s,
+                                  (c0 * s, c1 * s), axis=3)
+            prev_end = c1
+        if merged_rows is None:
+            merged_rows = merged
+        else:
+            merged_rows = _feather(merged_rows, merged, rows_prev_end * s,
+                                   (r0 * s, r1 * s), axis=2)
+        rows_prev_end = r1
+    return merged_rows
+
+
 def _decode_pixels(
     config: PipelineConfig,
     dtype,
@@ -264,10 +353,36 @@ class AetherPipeline:
         empty_prompt_embeds: Union[np.ndarray, jnp.ndarray],
         attn_impl: str = "auto",
         compute_dtype=jnp.bfloat16,
+        vae_tiling: Optional[bool] = None,
+        compact_transfer: Optional[bool] = None,
+        mesh=None,
     ):
+        """``mesh``: an optional ('dp', 'tp') ``jax.sharding.Mesh``. DiT params
+        are sharded Megatron-style across 'tp' (XLA GSPMD inserts the ICI
+        all-reduces); the CFG pair and VAE frame chunks ride 'dp'. The
+        reference has no model parallelism at all (SURVEY.md section 2.3) —
+        this is the TPU-native scaling path past one chip."""
+        self.mesh = mesh
+        if mesh is not None:
+            from aether_tpu.parallel.mesh import dit_param_sharding, shard_params
+
+            dit_params = shard_params(
+                dit_params, dit_param_sharding(config.dit, mesh), mesh
+            )
+            rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            vae_params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), vae_params
+            )
         self.config = config
         self.dit_params = dit_params
         self.vae_params = vae_params
+        # None = auto: tile the VAE decode when frames exceed one tile
+        # (the reference always enables diffusers tiling, demo.py:229-230)
+        self.vae_tiling = vae_tiling
+        # compact the device->host wire format (rgb uint8, disparity fp16):
+        # remote/tunneled TPUs are D2H-bandwidth-bound, and rgb is quantized
+        # to uint8 at export anyway. None = auto-on for non-CPU backends.
+        self.compact_transfer = compact_transfer
         self.empty_prompt_embeds = jnp.asarray(empty_prompt_embeds, compute_dtype)
         if self.empty_prompt_embeds.ndim == 2:
             self.empty_prompt_embeds = self.empty_prompt_embeds[None]
@@ -414,18 +529,27 @@ class AetherPipeline:
         condition_latents = jnp.concatenate([condition, camera], axis=2)
 
         # ---- stage 2: jitted denoise scan ----
-        latents = _denoise(
-            cfgd, self.attn_impl, dtype, task, do_cfg,
-            self.dit_params, self.empty_prompt_embeds, condition_latents,
-            plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
-            jnp.asarray(rope_sin), key_denoise,
-        )
+        import contextlib
+
+        mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
+        with mesh_ctx:
+            latents = _denoise(
+                cfgd, self.attn_impl, dtype, task, do_cfg,
+                self.dit_params, self.empty_prompt_embeds, condition_latents,
+                plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
+                jnp.asarray(rope_sin), key_denoise,
+            )
 
         # ---- stage 3: chunked VAE decode + output transforms ----
-        rgb = _decode_pixels(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
+        tiling = self.vae_tiling
+        if tiling is None:  # auto: tile when the frame exceeds one 32x48 tile
+            tiling = h_lat > 32 or w_lat > 48
+        decode = _decode_pixels_tiled if tiling else _decode_pixels
+
+        rgb = decode(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
         rgb = jnp.clip(rgb * 0.5 + 0.5, 0.0, 1.0)
 
-        disparity = _decode_pixels(
+        disparity = decode(
             cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
         )
         disparity = jnp.square(disparity.mean(axis=-1) * 0.5 + 0.5)
@@ -434,8 +558,23 @@ class AetherPipeline:
             latents[:, :, 2 * lat_c :].astype(jnp.float32), int(rgb.shape[1])
         )
 
+        compact = self.compact_transfer
+        if compact is None:
+            compact = jax.default_backend() != "cpu"
+        if compact:
+            rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
+            disparity = disparity.astype(jnp.float16)
+        rgb, disparity, raymap_out = rgb[0], disparity[0], raymap_out[0]
+        for arr in (rgb, disparity, raymap_out):  # overlap the three pulls
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+        rgb = np.asarray(rgb)
+        if compact:
+            rgb = rgb.astype(np.float32) / 255.0
         return AetherPipelineOutput(
-            rgb=np.asarray(rgb[0], dtype=np.float32),
-            disparity=np.asarray(disparity[0], dtype=np.float32),
-            raymap=np.asarray(raymap_out[0], dtype=np.float32),
+            rgb=rgb.astype(np.float32, copy=False),
+            disparity=np.asarray(disparity).astype(np.float32),
+            raymap=np.asarray(raymap_out, dtype=np.float32),
         )

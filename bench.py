@@ -13,12 +13,20 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent XLA compilation cache: the 42-layer pipeline takes minutes to
+# compile cold; warm runs (same shapes) skip straight to execution
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _block(tree):
@@ -29,7 +37,12 @@ def main() -> None:
     from aether_tpu.config import PipelineConfig
     from aether_tpu.models import init_dit_params, init_vae_params
     from aether_tpu.pipeline import AetherPipeline
-    from aether_tpu.pipeline.aether import _decode_pixels, _denoise, _encode_pixels
+    from aether_tpu.pipeline.aether import (
+        _decode_pixels,
+        _decode_pixels_tiled,
+        _denoise,
+        _encode_pixels,
+    )
 
     backend = jax.default_backend()
     on_accel = backend not in ("cpu",)
@@ -113,10 +126,11 @@ def main() -> None:
     denoise_s = time.perf_counter() - t0
 
     lat_c = cfg.vae.latent_channels
-    frames_out = _decode_pixels(cfg, dtype, vae_params, latents[:, :, :lat_c])
+    _decode = _decode_pixels_tiled if on_accel else _decode_pixels
+    frames_out = _decode(cfg, dtype, vae_params, latents[:, :, :lat_c])
     _block(frames_out)
     t0 = time.perf_counter()
-    frames_out = _decode_pixels(cfg, dtype, vae_params, latents[:, :, :lat_c])
+    frames_out = _decode(cfg, dtype, vae_params, latents[:, :, :lat_c])
     _block(frames_out)
     vae_decode_s = time.perf_counter() - t0
 
