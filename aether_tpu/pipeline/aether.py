@@ -109,20 +109,18 @@ def _decode_chunk(config, dtype, vae_params, latents_cl, cache):
     return decode_frames(vae_params, config.vae, latents_cl.astype(dtype), cache)
 
 
-def _encode_pixels(
+def _encode_moments_chunked(
     config: PipelineConfig,
     dtype,
     vae_params: Dict[str, Any],
-    frames: jnp.ndarray,  # (F, H, W, 3) in [-1, 1]
-    key: Optional[jax.Array],
+    video: jnp.ndarray,  # (1, F, H, W, 3) in [-1, 1]
     frame_batch_size: int = 4,
-) -> jnp.ndarray:
-    """Chunked VAE encode -> scaled condition latents (1, F_lat, C, h, w).
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Temporally-chunked moment encode with conv-cache threading.
 
-    Host loop over frame chunks with conv-cache threading (2 compiled chunk
-    shapes); mirrors the reference's framewise encode with slicing enabled.
+    Returns channels-last (1, F_lat, h, w, C) mean and logvar; 2 compiled
+    chunk shapes. Mirrors the reference's framewise encode with slicing.
     """
-    video = frames[None]
     t = video.shape[1]
     n_chunks = max(t // frame_batch_size, 1)
     remaining = t % frame_batch_size if t > frame_batch_size else 0
@@ -138,9 +136,14 @@ def _encode_pixels(
         means.append(mean)
         logvars.append(logvar)
         start = end
-    mean = jnp.concatenate(means, axis=1)
-    logvar = jnp.concatenate(logvars, axis=1)
+    return jnp.concatenate(means, axis=1), jnp.concatenate(logvars, axis=1)
 
+
+def _finish_encode(
+    config: PipelineConfig, dtype, mean: jnp.ndarray, logvar: jnp.ndarray,
+    key: Optional[jax.Array],
+) -> jnp.ndarray:
+    """Posterior sample + latent scaling -> (1, F_lat, C, h, w)."""
     if key is not None:
         logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
         noise = jax.random.normal(key, mean.shape, jnp.float32)
@@ -152,6 +155,72 @@ def _encode_pixels(
     if config.vae.invert_scale_latents:
         return (lat / scale).astype(dtype)
     return (lat * scale).astype(dtype)
+
+
+def _encode_pixels(
+    config: PipelineConfig,
+    dtype,
+    vae_params: Dict[str, Any],
+    frames: jnp.ndarray,  # (F, H, W, 3) in [-1, 1]
+    key: Optional[jax.Array],
+    frame_batch_size: int = 4,
+) -> jnp.ndarray:
+    """Chunked VAE encode -> scaled condition latents (1, F_lat, C, h, w)."""
+    mean, logvar = _encode_moments_chunked(
+        config, dtype, vae_params, frames[None], frame_batch_size
+    )
+    return _finish_encode(config, dtype, mean, logvar, key)
+
+
+def _encode_pixels_tiled(
+    config: PipelineConfig,
+    dtype,
+    vae_params: Dict[str, Any],
+    frames: jnp.ndarray,  # (F, H, W, 3) in [-1, 1]
+    key: Optional[jax.Array],
+    frame_batch_size: int = 4,
+    tile_latent: Tuple[int, int] = (32, 48),
+    min_overlap: Tuple[int, int] = (8, 12),
+) -> jnp.ndarray:
+    """Spatially-tiled encode: per-tile moment encode, latent-space feathered
+    seams, ONE posterior draw over the blended moments (so the noise stream
+    matches the untiled path). Cuts encoder workspace ~4x — needed when the
+    10.4 GB DiT shares HBM (the reference's ``vae.enable_tiling()``)."""
+    s = config.vae_scale_factor_spatial
+    h, w = frames.shape[1:3]
+    row_spans = _tile_spans(h // s, tile_latent[0], min_overlap[0])
+    col_spans = _tile_spans(w // s, tile_latent[1], min_overlap[1])
+    if len(row_spans) == 1 and len(col_spans) == 1:
+        return _encode_pixels(config, dtype, vae_params, frames, key,
+                              frame_batch_size)
+
+    video = frames[None]
+    merged = None  # (mean, logvar), channels-last, latent h/w at axes 2/3
+    rows_prev_end = 0
+    for r0, r1 in row_spans:
+        row = None
+        prev_end = 0
+        for c0, c1 in col_spans:
+            tile = video[:, :, r0 * s : r1 * s, c0 * s : c1 * s]
+            moments = _encode_moments_chunked(config, dtype, vae_params, tile,
+                                              frame_batch_size)
+            if row is None:
+                row = moments
+            else:
+                row = tuple(
+                    _feather(a, b, prev_end, (c0, c1), axis=3)
+                    for a, b in zip(row, moments)
+                )
+            prev_end = c1
+        if merged is None:
+            merged = row
+        else:
+            merged = tuple(
+                _feather(a, b, rows_prev_end, (r0, r1), axis=2)
+                for a, b in zip(merged, row)
+            )
+        rows_prev_end = r1
+    return _finish_encode(config, dtype, merged[0], merged[1], key)
 
 
 def _tile_spans(n: int, tile: int, min_overlap: int) -> list:
@@ -506,19 +575,24 @@ class AetherPipeline:
         w_lat = width // cfgd.vae_scale_factor_spatial
 
         # ---- stage 1: chunked VAE encode of the pixel conditions ----
+        tiling = self.vae_tiling
+        if tiling is None:  # auto: tile when the frame exceeds one 32x48 tile
+            tiling = h_lat > 32 or w_lat > 48
+        encode = _encode_pixels_tiled if tiling else _encode_pixels
+
         if task == "reconstruction":
-            condition = _encode_pixels(cfgd, dtype, self.vae_params,
-                                       jnp.asarray(pixels), key_vae)
+            condition = encode(cfgd, dtype, self.vae_params,
+                               jnp.asarray(pixels), key_vae)
         elif task == "prediction":
-            img_lat = _encode_pixels(cfgd, dtype, self.vae_params,
-                                     jnp.asarray(pixels), key_vae)
+            img_lat = encode(cfgd, dtype, self.vae_params,
+                             jnp.asarray(pixels), key_vae)
             padding = jnp.zeros((1, f_lat - 1, lat_c, h_lat, w_lat), dtype)
             condition = jnp.concatenate([img_lat, padding], axis=1)
         else:  # planning
-            img_lat = _encode_pixels(cfgd, dtype, self.vae_params,
-                                     jnp.asarray(pixels), key_vae)
-            goal_lat = _encode_pixels(cfgd, dtype, self.vae_params,
-                                      jnp.asarray(goal_pixels), key_goal)
+            img_lat = encode(cfgd, dtype, self.vae_params,
+                             jnp.asarray(pixels), key_vae)
+            goal_lat = encode(cfgd, dtype, self.vae_params,
+                              jnp.asarray(goal_pixels), key_goal)
             padding = jnp.zeros((1, f_lat - 2, lat_c, h_lat, w_lat), dtype)
             condition = jnp.concatenate([img_lat, padding, goal_lat], axis=1)
 
@@ -541,9 +615,6 @@ class AetherPipeline:
             )
 
         # ---- stage 3: chunked VAE decode + output transforms ----
-        tiling = self.vae_tiling
-        if tiling is None:  # auto: tile when the frame exceeds one 32x48 tile
-            tiling = h_lat > 32 or w_lat > 48
         decode = _decode_pixels_tiled if tiling else _decode_pixels
 
         rgb = decode(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])

@@ -42,6 +42,7 @@ def main() -> None:
         _decode_pixels_tiled,
         _denoise,
         _encode_pixels,
+        _encode_pixels_tiled,
     )
 
     backend = jax.default_backend()
@@ -102,10 +103,11 @@ def main() -> None:
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
     k = jax.random.PRNGKey(7)
 
-    cond = _encode_pixels(cfg, dtype, vae_params, pixels, k)
+    _encode = _encode_pixels_tiled if on_accel else _encode_pixels
+    cond = _encode(cfg, dtype, vae_params, pixels, k)
     _block(cond)
     t0 = time.perf_counter()
-    cond = _encode_pixels(cfg, dtype, vae_params, pixels, k)
+    cond = _encode(cfg, dtype, vae_params, pixels, k)
     _block(cond)
     vae_encode_s = time.perf_counter() - t0
 

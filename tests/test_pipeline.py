@@ -191,3 +191,31 @@ def test_tiled_decode_matches_full_away_from_seams():
     diff = np.abs(np.asarray(full) - np.asarray(tiled))
     # tiles see different groupnorm stats; agreement is approximate by design
     assert diff.mean() < 0.05, diff.mean()
+
+
+def test_tiled_encode_matches_full_approximately():
+    """Tiled VAE encode (HBM-constrained path) blends latent moments across
+    tiles; must be deterministic and close to the untiled encode."""
+    import jax
+    import jax.numpy as jnp
+
+    from aether_tpu.config import PipelineConfig
+    from aether_tpu.models import init_vae_params
+    from aether_tpu.pipeline.aether import _encode_pixels, _encode_pixels_tiled
+
+    cfg = PipelineConfig.tiny()
+    vae = init_vae_params(jax.random.PRNGKey(0), cfg.vae)
+    frames = jax.random.uniform(
+        jax.random.PRNGKey(1), (5, 96, 144, 3), jnp.float32, -1, 1
+    )
+    k = jax.random.PRNGKey(7)
+    full = _encode_pixels(cfg, jnp.float32, vae, frames, k)
+    tiled = _encode_pixels_tiled(cfg, jnp.float32, vae, frames, k,
+                                 tile_latent=(8, 10), min_overlap=(4, 4))
+    assert tiled.shape == full.shape
+    t2 = _encode_pixels_tiled(cfg, jnp.float32, vae, frames, k,
+                              tile_latent=(8, 10), min_overlap=(4, 4))
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(t2))
+    # groupnorm-statistics drift only; gross disagreement means a seam bug
+    diff = np.abs(np.asarray(full) - np.asarray(tiled))
+    assert diff.mean() < 0.2, diff.mean()
