@@ -227,3 +227,18 @@ def test_depth_edge_rtol_and_mask():
     mask[0, :, :4] = True  # only look at the flat region
     edge_masked = np.asarray(depth_edge(depth, atol=0.2, mask=mask))
     assert not edge_masked[0, :, :3].any()
+
+
+def test_named_action_raymaps_roundtrip():
+    """Generated camera-action raymaps must decode back to their source poses."""
+    from aether_tpu.apps.actions import NAMED_ACTIONS, action_raymap, trajectory
+    from aether_tpu.geometry.raymap import raymap_to_poses
+
+    for name in ("forward", "backward", "forward_right", "turn_left"):
+        rm = action_raymap(name, num_frames=9, height=64, width=96)
+        assert rm.shape == (9, 6, 8, 12)
+        poses, _, _ = raymap_to_poses(rm, ray_o_scale_inv=0.1)
+        gt = trajectory(9, **NAMED_ACTIONS[name])
+        poses = np.asarray(poses)
+        np.testing.assert_allclose(poses[:, :3, 3], gt[:, :3, 3], atol=1e-5)
+        np.testing.assert_allclose(poses[:, :3, :3], gt[:, :3, :3], atol=0.02)
