@@ -273,8 +273,14 @@ def dit_forward(
     rope_cos: Optional[jnp.ndarray] = None,
     rope_sin: Optional[jnp.ndarray] = None,
     attn_impl: str = "flash",
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Denoiser forward.
+
+    ``remat=True`` rematerializes each block on the backward pass
+    (``jax.checkpoint`` around the scanned block) — activation memory drops
+    from O(layers) to O(1) blocks at ~1.3x backward FLOPs; required to train
+    the 42-block model at 15k tokens.
 
     Args:
         hidden_states: [B, F, C_in, H_lat, W_lat] packed noisy+condition latents.
@@ -333,8 +339,9 @@ def dit_forward(
         enc = enc + (e_gate * ff[:, :text_len].astype(jnp.float32)).astype(enc.dtype)
         return (hid, enc), None
 
+    scanned_body = jax.checkpoint(block_body) if remat else block_body
     (video_tokens, text_tokens), _ = jax.lax.scan(
-        block_body, (video_tokens, text_tokens), params["blocks"]
+        scanned_body, (video_tokens, text_tokens), params["blocks"]
     )
 
     # 4. final norm over the joint stream, AdaLN on video part, project, unpatchify
