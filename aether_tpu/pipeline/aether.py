@@ -255,7 +255,7 @@ def _feather(prev: jnp.ndarray, curr: jnp.ndarray, prev_end: int,
 
     w_shape = [1] * prev.ndim
     w_shape[axis] = overlap
-    weight = jnp.linspace(1.0, 0.0, overlap).reshape(w_shape)
+    weight = jnp.linspace(1.0, 0.0, overlap).reshape(w_shape).astype(prev.dtype)
     blended = sl(prev, start, prev_end) * weight + sl(curr, 0, overlap) * (
         1.0 - weight
     )
@@ -319,7 +319,11 @@ def _decode_pixels(
     latents_16: jnp.ndarray,  # (1, F_lat, C, h, w) scaled
     frame_batch_size: int = 2,
 ) -> jnp.ndarray:
-    """Chunked VAE decode -> (1, F, H, W, 3) float32 in [-1, 1]."""
+    """Chunked VAE decode -> (1, F, H, W, 3) in the compute dtype.
+
+    Output stays in ``dtype`` (bf16 on TPU) so downstream tile feathering
+    churns half the bytes; callers convert at the very end.
+    """
     z = latents_16.astype(jnp.float32) / config.vae.scaling_factor
     z = jnp.moveaxis(z, 2, -1)  # channels-last
     t = z.shape[1]
@@ -332,7 +336,7 @@ def _decode_pixels(
         end = min(frame_batch_size + remaining if i == 0 else
                   start + frame_batch_size, t)
         video, cache = _decode_chunk(config, dtype, vae_params, z[:, start:end], cache)
-        outs.append(video.astype(jnp.float32))
+        outs.append(video)
         start = end
     return jnp.concatenate(outs, axis=1)
 
@@ -623,7 +627,9 @@ class AetherPipeline:
         disparity = decode(
             cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
         )
-        disparity = jnp.square(disparity.mean(axis=-1) * 0.5 + 0.5)
+        disparity = jnp.square(
+            disparity.astype(jnp.float32).mean(axis=-1) * 0.5 + 0.5
+        )
 
         raymap_out = unpack_raymap(
             latents[:, :, 2 * lat_c :].astype(jnp.float32), int(rgb.shape[1])
@@ -636,6 +642,11 @@ class AetherPipeline:
             rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
             disparity = disparity.astype(jnp.float16)
         rgb, disparity, raymap_out = rgb[0], disparity[0], raymap_out[0]
+        # drain the device queue before starting transfers: pulling buffers
+        # with deep pending work exhausts the remote runtime's transfer
+        # resources on tunneled devices
+        for arr in (rgb, disparity, raymap_out):
+            arr.block_until_ready()
         for arr in (rgb, disparity, raymap_out):  # overlap the three pulls
             try:
                 arr.copy_to_host_async()

@@ -74,22 +74,79 @@ def main() -> None:
         num_frames=num_frames, num_inference_steps=steps, fps=12, seed=42,
     )
 
+    def run_with_retry(attempts: int = 4):
+        # the tunneled chip sporadically throws RESOURCE_EXHAUSTED under
+        # remote-side contention; retry rather than zeroing the whole bench
+        for i in range(attempts):
+            try:
+                return pipe(**run_kwargs)
+            except Exception as exc:
+                print(f"attempt {i + 1} failed: {type(exc).__name__}",
+                      file=sys.stderr, flush=True)
+                if i == attempts - 1:
+                    raise
+                time.sleep(30.0)
+
     # ---- warmup / compile ----
     t0 = time.perf_counter()
-    pipe(**run_kwargs)
+    run_with_retry()
     compile_and_first_run_s = time.perf_counter() - t0
 
     # ---- e2e timed runs ----
     e2e_times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        pipe(**run_kwargs)
+        run_with_retry()
         e2e_times.append(time.perf_counter() - t0)
     e2e_s = float(np.median(e2e_times))
 
-    # ---- sub-metrics on the staged internals ----
+    # ---- sub-metrics on the staged internals (best-effort: a contended
+    # remote chip must not zero out the headline metric) ----
+    vae_encode_s = denoise_s = vae_decode_s = float("nan")
+    try:
+        _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
+                          video, height, width, num_frames, steps)
+    except Exception as exc:
+        print(f"sub-metrics failed: {type(exc).__name__}", file=sys.stderr)
+    else:
+        vae_encode_s, denoise_s, vae_decode_s = _SUB[:]
+
+    result = {
+        "metric": "e2e_seconds_per_41f_480p_window",
+        "value": round(e2e_s, 3),
+        "unit": "s",
+        "vs_baseline": round(10.0 / e2e_s, 3),  # north-star: <10 s (BASELINE.md)
+        "denoise_steps_per_sec_per_chip": round(steps / denoise_s, 3)
+        if denoise_s == denoise_s else None,
+        "denoise_s": round(denoise_s, 3) if denoise_s == denoise_s else None,
+        "vae_encode_s": round(vae_encode_s, 3)
+        if vae_encode_s == vae_encode_s else None,
+        "vae_decode_s": round(vae_decode_s, 3)
+        if vae_decode_s == vae_decode_s else None,
+        "vae_decode_fps": round(num_frames / vae_decode_s, 2)
+        if vae_decode_s == vae_decode_s else None,
+        "compile_plus_first_run_s": round(compile_and_first_run_s, 1),
+        "backend": backend,
+        "config": f"{num_frames}f x {height}x{width}, {steps} steps, "
+                  f"{cfg.dit.num_layers}L x {cfg.dit.hidden_size}d",
+    }
+    print(json.dumps(result))
+
+
+_SUB = [float("nan")] * 3
+
+
+def _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
+                      video, height, width, num_frames, steps) -> None:
     from aether_tpu.models.rope import prepare_rotary_positional_embeddings
-    from aether_tpu.pipeline.aether import make_sampling_plan
+    from aether_tpu.pipeline.aether import (
+        _decode_pixels,
+        _decode_pixels_tiled,
+        _denoise,
+        _encode_pixels,
+        _encode_pixels_tiled,
+        make_sampling_plan,
+    )
     from aether_tpu.utils.preprocess import preprocess_video
 
     f_lat = (num_frames - 1) // cfg.vae_scale_factor_temporal + 1
@@ -136,22 +193,7 @@ def main() -> None:
     _block(frames_out)
     vae_decode_s = time.perf_counter() - t0
 
-    result = {
-        "metric": "e2e_seconds_per_41f_480p_window",
-        "value": round(e2e_s, 3),
-        "unit": "s",
-        "vs_baseline": round(10.0 / e2e_s, 3),  # north-star: <10 s (BASELINE.md)
-        "denoise_steps_per_sec_per_chip": round(steps / denoise_s, 3),
-        "denoise_s": round(denoise_s, 3),
-        "vae_encode_s": round(vae_encode_s, 3),
-        "vae_decode_s": round(vae_decode_s, 3),
-        "vae_decode_fps": round(num_frames / vae_decode_s, 2),
-        "compile_plus_first_run_s": round(compile_and_first_run_s, 1),
-        "backend": backend,
-        "config": f"{num_frames}f x {height}x{width}, {steps} steps, "
-                  f"{cfg.dit.num_layers}L x {cfg.dit.hidden_size}d",
-    }
-    print(json.dumps(result))
+    _SUB[0], _SUB[1], _SUB[2] = vae_encode_s, denoise_s, vae_decode_s
 
 
 if __name__ == "__main__":
