@@ -204,6 +204,7 @@ def _encode_pixels_tiled(
             tile = video[:, :, r0 * s : r1 * s, c0 * s : c1 * s]
             moments = _encode_moments_chunked(config, dtype, vae_params, tile,
                                               frame_batch_size)
+            moments[0].block_until_ready()  # cap in-flight queue (see decode)
             if row is None:
                 row = moments
             else:
@@ -297,6 +298,10 @@ def _decode_pixels_tiled(
                 config, dtype, vae_params, latents_16[:, :, :, r0:r1, c0:c1],
                 frame_batch_size,
             )
+            # cap the in-flight dispatch queue: tunneled remote runtimes
+            # exhaust transfer/queue resources when hundreds of chunk ops pile
+            # up unsynchronized (costs ~one roundtrip per tile)
+            tile.block_until_ready()
             if merged is None:
                 merged = tile
             else:

@@ -196,5 +196,37 @@ def _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
     _SUB[0], _SUB[1], _SUB[2] = vae_encode_s, denoise_s, vae_decode_s
 
 
+def _main_with_process_retry() -> int:
+    """Run the measurement in a child process; relaunch on failure.
+
+    A wedged tunnel client never recovers in-process (observed: once a
+    RESOURCE_EXHAUSTED fires, every subsequent op fails), so retries must get
+    a fresh device client. The child prints the JSON line; the parent
+    forwards it verbatim.
+    """
+    import subprocess
+
+    if os.environ.get("AETHER_BENCH_CHILD") == "1":
+        return main() or 0
+
+    env = dict(os.environ)
+    env["AETHER_BENCH_CHILD"] = "1"
+    for attempt in range(3):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+        sys.stderr.write(proc.stderr[-2000:] + "\n")
+        print(f"bench attempt {attempt + 1} failed (rc={proc.returncode}); "
+              "relaunching with a fresh device client", file=sys.stderr,
+              flush=True)
+        time.sleep(30.0)
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_process_retry())
