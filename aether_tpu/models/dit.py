@@ -81,11 +81,53 @@ def layer_norm(
     return y.astype(dtype)
 
 
-def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if isinstance(w, dict):  # weight-only quantized: {"q": fp8/int8, "s": (out,)}
+        y = jnp.dot(x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y * w["s"].astype(jnp.float32)
+    else:
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+_QUANT_WEIGHT_KEYS = frozenset(
+    {"proj_w", "text_w", "q_w", "k_w", "v_w", "o_w", "w", "w1", "w2"}
+)
+
+
+def quantize_dit_params(params: Params, dtype=None) -> Params:
+    """Weight-only quantization of every matmul weight in the DiT tree.
+
+    Each weight W[..., in, out] is stored as ``{"q": (W / s).astype(dtype),
+    "s": s}`` with a per-output-column scale s = max|W| / dtype_max, so the
+    dequantized matmul is ``dot(x, q) * s`` — column scaling commutes with the
+    contraction, keeping the MXU path intact. Halves (fp8) or halves (int8)
+    resident weight bytes vs bf16; biases, norms and time-embed stay unquantized.
+    The reference has no quantized deployment path at all.
+    """
+    import jax.tree_util as jtu
+
+    if dtype is None:
+        dtype = jnp.float8_e4m3fn
+    fmax = float(jnp.finfo(dtype).max) if jnp.issubdtype(
+        dtype, jnp.floating
+    ) else float(jnp.iinfo(dtype).max)
+
+    def quant(path, leaf):
+        key = path[-1].key if hasattr(path[-1], "key") else None
+        if key not in _QUANT_WEIGHT_KEYS or getattr(leaf, "ndim", 0) < 2:
+            return leaf
+        w = jnp.asarray(leaf, jnp.float32)
+        # reduce over the contraction ('in') axis only: stacked block weights
+        # (L, in, out) keep per-layer per-column scales (L, out)
+        s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / fmax
+        s = jnp.maximum(s, 1e-12)
+        q = (w / s).astype(dtype)
+        return {"q": q, "s": jnp.squeeze(s, axis=-2)}
+
+    return jtu.tree_map_with_path(quant, params)
 
 
 def apply_rotary_emb(

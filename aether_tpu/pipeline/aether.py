@@ -180,7 +180,7 @@ def _encode_pixels_tiled(
     key: Optional[jax.Array],
     frame_batch_size: int = 4,
     tile_latent: Tuple[int, int] = (32, 48),
-    min_overlap: Tuple[int, int] = (8, 12),
+    min_overlap: Tuple[int, int] = (4, 6),
 ) -> jnp.ndarray:
     """Spatially-tiled encode: per-tile moment encode, latent-space feathered
     seams, ONE posterior draw over the blended moments (so the noise stream
@@ -272,7 +272,7 @@ def _decode_pixels_tiled(
     latents_16: jnp.ndarray,  # (1, F_lat, C, h, w) scaled
     frame_batch_size: int = 2,
     tile_latent: Tuple[int, int] = (32, 48),
-    min_overlap: Tuple[int, int] = (8, 12),
+    min_overlap: Tuple[int, int] = (4, 6),
 ) -> jnp.ndarray:
     """Spatially-tiled chunked decode for memory-constrained chips.
 

@@ -59,6 +59,16 @@ def main() -> None:
 
     key = jax.random.PRNGKey(0)
     dit_params = init_dit_params(key, cfg.dit, dtype=dtype)
+    # weight-only fp8 on the accelerator: halves resident DiT bytes (10.4 GB ->
+    # 5.3 GB), which this tunneled chip's fluctuating memory budget needs;
+    # per-column scales keep matmul outputs within ~1% of bf16
+    weights_format = "bf16" if not on_accel else os.environ.get(
+        "AETHER_WEIGHT_QUANT", "fp8"
+    )
+    if weights_format == "fp8":
+        from aether_tpu.models.dit import quantize_dit_params
+
+        dit_params = quantize_dit_params(dit_params)
     vae_params = init_vae_params(jax.random.fold_in(key, 1), cfg.vae, dtype=dtype)
     _block(dit_params)
     text = np.zeros((1, cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim),
@@ -127,6 +137,7 @@ def main() -> None:
         if vae_decode_s == vae_decode_s else None,
         "compile_plus_first_run_s": round(compile_and_first_run_s, 1),
         "backend": backend,
+        "weights": weights_format,
         "config": f"{num_frames}f x {height}x{width}, {steps} steps, "
                   f"{cfg.dit.num_layers}L x {cfg.dit.hidden_size}d",
     }

@@ -164,3 +164,32 @@ def test_conv_cache_is_exact():
     y2 = c2.conv(x[:, 5:], w, b, "c")
     chunked = jnp.concatenate([y1, y2], axis=1)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
+
+
+def test_fp8_weight_quantization_close_to_bf16():
+    """Weight-only fp8 with per-column scales must track the full-precision
+    forward within a few percent and halve matmul-weight bytes."""
+    from aether_tpu.models.dit import quantize_dit_params
+
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_dit_params(params)
+
+    f, h, w = 2, 8, 12
+    hidden = jax.random.normal(jax.random.PRNGKey(1),
+                               (1, f, cfg.in_channels, h, w), jnp.float32)
+    text = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (1, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
+    cos, sin = prepare_rotary_positional_embeddings(cfg, h * 8, w * 8, f, fps=12)
+    args = (hidden, text, jnp.array([500]), jnp.asarray(cos), jnp.asarray(sin))
+    out = dit_forward(params, cfg, *args, attn_impl="xla")
+    qout = dit_forward(qparams, cfg, *args, attn_impl="xla")
+    rel = np.abs(np.asarray(out) - np.asarray(qout)).mean() / (
+        np.abs(np.asarray(out)).mean() + 1e-9
+    )
+    assert rel < 0.10, rel
+    # every stacked attn weight is stored as {"q": fp8, "s": per-column scale}
+    attn_q = qparams["blocks"]["attn"]["q_w"]
+    assert attn_q["q"].dtype == jnp.float8_e4m3fn
+    assert attn_q["s"].shape == (cfg.num_layers, cfg.hidden_size)
