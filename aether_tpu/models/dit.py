@@ -39,6 +39,19 @@ from aether_tpu.ops.flash_attention import attention_reference, flash_attention
 Params = Dict[str, Any]
 
 
+def _fold_keys(key):
+    """Device-side key stream: fold_in per draw.
+
+    ``iter(jax.random.split(key, n))`` forces one device->host sync PER KEY
+    (array iteration calls __index__); on a tunneled TPU that is ~36 ms and a
+    flaky-transfer exposure each. fold_in stays on device entirely.
+    """
+    i = 0
+    while True:
+        yield jax.random.fold_in(key, i)
+        i += 1
+
+
 # ---------------------------------------------------------------------------
 # primitives
 # ---------------------------------------------------------------------------
@@ -161,7 +174,7 @@ def init_dit_params(key: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> Params
     """Random-init parameters with the exact checkpoint tensor topology."""
     d = cfg.hidden_size
     p = cfg.patch_size
-    keys = iter(jax.random.split(key, 64))
+    keys = _fold_keys(key)
 
     patch_in = cfg.in_channels * p * p
     proj_w, proj_b = _dense_init(next(keys), patch_in, d, dtype)
@@ -171,7 +184,7 @@ def init_dit_params(key: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> Params
     t_w2, t_b2 = _dense_init(next(keys), cfg.time_embed_dim, cfg.time_embed_dim, dtype)
 
     def block_params(bkey):
-        bkeys = iter(jax.random.split(bkey, 16))
+        bkeys = _fold_keys(bkey)
         n1_w, n1_b = _dense_init(next(bkeys), cfg.time_embed_dim, 6 * d, dtype)
         n2_w, n2_b = _dense_init(next(bkeys), cfg.time_embed_dim, 6 * d, dtype)
         q_w, q_b = _dense_init(next(bkeys), d, d, dtype)

@@ -32,6 +32,19 @@ from aether_tpu.config import VAEConfig
 Params = Dict[str, Any]
 
 
+def _fold_keys(key):
+    """Device-side key stream: fold_in per draw.
+
+    ``iter(jax.random.split(key, n))`` forces one device->host sync PER KEY
+    (array iteration calls __index__); on a tunneled TPU that is ~36 ms and a
+    flaky-transfer exposure each. fold_in stays on device entirely.
+    """
+    i = 0
+    while True:
+        yield jax.random.fold_in(key, i)
+        i += 1
+
+
 # ---------------------------------------------------------------------------
 # primitives
 # ---------------------------------------------------------------------------
@@ -244,7 +257,7 @@ def _conv_init(key, kt, kh, kw, cin, cout, dtype):
 
 
 def _resnet_init(key, cin, cout, cfg: VAEConfig, zq_ch: Optional[int], dtype):
-    keys = iter(jax.random.split(key, 8))
+    keys = _fold_keys(key)
     p: Params = {}
 
     def norm_init(k, ch):
@@ -269,7 +282,7 @@ def _resnet_init(key, cin, cout, cfg: VAEConfig, zq_ch: Optional[int], dtype):
 
 
 def init_vae_params(key: jax.Array, cfg: VAEConfig, dtype=jnp.float32) -> Params:
-    keys = iter(jax.random.split(key, 128))
+    keys = _fold_keys(key)
     chs = cfg.block_out_channels
     lat = cfg.latent_channels
     tcl = cfg.temporal_compress_level
