@@ -222,7 +222,8 @@ def _main_with_process_retry() -> int:
 
     env = dict(os.environ)
     env["AETHER_BENCH_CHILD"] = "1"
-    for attempt in range(3):
+    attempts = int(os.environ.get("AETHER_BENCH_ATTEMPTS", "5"))
+    for attempt in range(attempts):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True,
@@ -235,7 +236,7 @@ def _main_with_process_retry() -> int:
         print(f"bench attempt {attempt + 1} failed (rc={proc.returncode}); "
               "relaunching with a fresh device client", file=sys.stderr,
               flush=True)
-        time.sleep(30.0)
+        time.sleep(60.0)
     return 1
 
 
