@@ -14,7 +14,12 @@ planning) as an idiomatic JAX/XLA/Pallas stack:
 - ``aether_tpu.pipeline``   task dispatch, CFG, jit-compiled sampling loop, sliding
                             window stitching (ref: aether/pipelines/..., scripts/demo.py)
 - ``aether_tpu.parallel``   device-mesh construction and sharding rules
-- ``aether_tpu.evaluation`` video-depth and relative-pose benchmark harnesses
+- ``aether_tpu.train``      v-prediction fine-tuning: Trainer, EMA, remat, data
+- ``aether_tpu.eval``       video-depth and relative-pose benchmark harnesses
+- ``aether_tpu.viz``        PLY/GLB/colormap/video export (dependency-free)
+- ``aether_tpu.apps``       CLI demo, web serving, camera-action generation
+- ``aether_tpu.io``         checkpoint conversion + orbax persistence
+- ``aether_tpu.utils``      preprocessing, profiling/tracing
 """
 
 __version__ = "0.1.0"

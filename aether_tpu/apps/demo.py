@@ -65,6 +65,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--random-init", dest="random_init", type=str, default=None,
                    choices=["tiny", "aetherv1"],
                    help="Skip checkpoint loading; random weights (smoke runs).")
+    p.add_argument("--config", type=str, default="aetherv1",
+                   choices=["aetherv1", "tiny"],
+                   help="Model topology of --checkpoint.")
     p.add_argument("--smooth_camera", action="store_true", default=True)
     p.add_argument("--smooth_method", type=str, default="kalman",
                    choices=["kalman", "simple"])
@@ -112,7 +115,7 @@ def build_pipeline(args: argparse.Namespace):
         )
     from aether_tpu.io.weights import load_checkpoint
 
-    cfg = PipelineConfig.aetherv1()
+    cfg = getattr(PipelineConfig, getattr(args, "config", "aetherv1"))()
     dit_params = load_checkpoint(os.path.join(args.checkpoint, "dit"))
     vae_params = load_checkpoint(os.path.join(args.checkpoint, "vae"))
     text = np.load(os.path.join(args.checkpoint, "text_embeds.npy"))
