@@ -24,7 +24,6 @@ from aether_tpu.eval.datasets import REL_POSE_DATASETS, list_sequences, load_tra
 from aether_tpu.eval.pose_metrics import (
     calculate_averages,
     eval_metrics,
-    load_tum_file,
     plot_trajectory,
     process_directory,
     save_focals,

@@ -12,7 +12,7 @@ Semantics match reference ``aether/utils/postprocess_utils.py``:
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Tuple
 
 import numpy as np
 

@@ -102,3 +102,24 @@ def test_dpm_step_is_scan_compatible():
     (x_final, _), _ = jax.lax.scan(body, (x_init, jnp.zeros_like(x_init)),
                                    jnp.arange(8))
     np.testing.assert_allclose(np.asarray(x_final), 0.5, atol=2e-4)
+
+
+def test_dynamic_cfg_ramp_reference_quirk():
+    """The reference evaluates the cosine ramp on the TIMESTEP VALUE (0..999),
+    not the step index (``pipeline:879-893``) — with 50 steps and t=999 the
+    exponent (50-999)/50 = -18.98 raised to the 5th power is astronomically
+    negative, so cos(pi * x^5) oscillates; reproduce the float64 math exactly."""
+    import math
+
+    from aether_tpu.pipeline.aether import dynamic_cfg_schedule
+
+    timesteps = np.array([999, 500, 19, 0])
+    steps, g = 50, 3.0
+    out = dynamic_cfg_schedule(timesteps, steps, g)
+    expected = [
+        1.0 + g * (1.0 - math.cos(math.pi * ((steps - float(t)) / steps) ** 5.0)) / 2.0
+        for t in timesteps
+    ]
+    np.testing.assert_allclose(out, np.asarray(expected, np.float32), rtol=1e-6)
+    # at t=0 the ramp reaches full strength: 1 + g*(1-cos(pi))/2 = 1 + g
+    np.testing.assert_allclose(out[3], 1.0 + g, rtol=1e-6)
