@@ -285,6 +285,10 @@ def _attention(
         attn = flash_attention(q, k, v)
     elif attn_impl == "flash_interpret":
         attn = flash_attention(q, k, v, interpret=True)
+    elif attn_impl == "chunked":
+        from aether_tpu.ops.chunked_attention import chunked_attention
+
+        attn = chunked_attention(q, k, v)
     else:
         attn = attention_reference(q, k, v)
 

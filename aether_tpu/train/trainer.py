@@ -308,7 +308,9 @@ def main(argv=None) -> None:
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         log_every=max(args.steps // 20, 1),
-        attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
+        # training needs a differentiable memory-efficient attention; the
+        # Pallas flash kernel is inference-only (no VJP)
+        attn_impl="chunked" if jax.default_backend() == "tpu" else "xla",
     )
 
     mesh = None
