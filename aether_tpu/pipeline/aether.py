@@ -369,11 +369,11 @@ def _denoise(
     cfg = config
     dtype = compute_dtype
     lat_c = cfg.vae.latent_channels
-    _, f_lat, _, h_lat, w_lat = condition_latents.shape
+    b, f_lat, _, h_lat, w_lat = condition_latents.shape
 
     key_noise, key_sde = jax.random.split(key)
     latents = (
-        jax.random.normal(key_noise, (1, f_lat, 56, h_lat, w_lat), jnp.float32)
+        jax.random.normal(key_noise, (b, f_lat, 56, h_lat, w_lat), jnp.float32)
         * plan.init_noise_sigma
     ).astype(dtype)
 
@@ -385,10 +385,14 @@ def _denoise(
         elif task == "prediction":
             uncond = uncond.at[:, :1, :lat_c].set(0.0)
         latent_condition = jnp.concatenate([uncond, condition_latents], axis=0)
-        text = jnp.concatenate([empty_prompt_embeds] * 2, axis=0)
+        text = jnp.broadcast_to(
+            empty_prompt_embeds, (2 * b, *empty_prompt_embeds.shape[-2:])
+        )
     else:
         latent_condition = condition_latents
-        text = empty_prompt_embeds
+        text = jnp.broadcast_to(
+            empty_prompt_embeds, (b, *empty_prompt_embeds.shape[-2:])
+        )
 
     def body(carry, i):
         lat, old_x0 = carry
@@ -665,3 +669,96 @@ class AetherPipeline:
             disparity=np.asarray(disparity).astype(np.float32),
             raymap=np.asarray(raymap_out, dtype=np.float32),
         )
+
+    # ------------------------------------------------------------------
+    # batched reconstruction: independent windows data-parallel on the mesh
+    # ------------------------------------------------------------------
+    def batch_reconstruct(
+        self,
+        videos: np.ndarray,  # (B, F, H, W, 3) uint8/float windows
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 4,
+        fps: int = 12,
+        seed: int = 0,
+    ) -> list:
+        """Reconstruct B windows in ONE batched denoise (BASELINE config #5).
+
+        The reference loops windows serially (``demo.py:613-631``); here the
+        batch axis rides the mesh's 'dp' axis when a mesh is set, so 8 chips
+        reconstruct 8 windows in the wall-clock of one. Returns a list of
+        :class:`AetherPipelineOutput`, one per window, ready for
+        :func:`~aether_tpu.pipeline.windowing.blend_and_merge_window_results`.
+        """
+        import contextlib
+
+        cfg = self.config
+        videos = np.asarray(videos)
+        bsz, nf = videos.shape[:2]
+        height = height or videos.shape[2]
+        width = width or videos.shape[3]
+        num_frames = num_frames or nf
+        self.check_inputs("reconstruction", None, videos[0], None, None,
+                          height, width, num_frames, fps)
+
+        dtype = self.compute_dtype
+        pixels = np.stack(
+            [np.asarray(preprocess_video(v, height, width)) for v in videos]
+        )
+        f_lat = (num_frames - 1) // cfg.vae_scale_factor_temporal + 1
+        h_lat = height // cfg.vae_scale_factor_spatial
+        w_lat = width // cfg.vae_scale_factor_spatial
+        plan = make_sampling_plan(cfg.scheduler, num_inference_steps)
+        guidance = np.ones(num_inference_steps, np.float32)
+        rope_cos, rope_sin = prepare_rotary_positional_embeddings(
+            cfg.dit, height, width, f_lat,
+            vae_scale_factor_spatial=cfg.vae_scale_factor_spatial,
+            base_fps=cfg.base_fps, fps=fps,
+        )
+        key = jax.random.PRNGKey(seed)
+        key_vae, key_denoise = jax.random.split(key)
+
+        batch = jnp.asarray(pixels)
+        if self.mesh is not None:
+            batch = jax.device_put(
+                batch,
+                jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec("dp")
+                ),
+            )
+        mean, logvar = _encode_moments_chunked(cfg, dtype, self.vae_params,
+                                               batch)
+        condition = _finish_encode(cfg, dtype, mean, logvar, key_vae)
+        camera = jnp.zeros((bsz, f_lat, 24, h_lat, w_lat), dtype)
+        condition_latents = jnp.concatenate([condition, camera], axis=2)
+
+        mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
+        with mesh_ctx:
+            latents = _denoise(
+                cfg, self.attn_impl, dtype, "reconstruction", False,
+                self.dit_params, self.empty_prompt_embeds, condition_latents,
+                plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
+                jnp.asarray(rope_sin), key_denoise,
+            )
+
+        lat_c = cfg.vae.latent_channels
+        rgb = _decode_pixels(cfg, dtype, self.vae_params, latents[:, :, :lat_c])
+        rgb = np.asarray(
+            jnp.clip(rgb.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+        )
+        disparity = _decode_pixels(
+            cfg, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
+        )
+        disparity = np.asarray(
+            jnp.square(disparity.astype(jnp.float32).mean(axis=-1) * 0.5 + 0.5)
+        )
+        raymap = np.asarray(
+            unpack_raymap(latents[:, :, 2 * lat_c :].astype(jnp.float32),
+                          num_frames)
+        )
+        return [
+            AetherPipelineOutput(rgb=rgb[i], disparity=disparity[i],
+                                 raymap=raymap[i])
+            for i in range(bsz)
+        ]

@@ -59,3 +59,44 @@ def test_sharded_reconstruction_runs(tiny_setup):
                num_frames=17, num_inference_steps=1, fps=12, seed=0)
     assert out.rgb.shape == (17, 64, 96, 3)
     assert np.all(np.isfinite(out.disparity))
+
+
+def test_batch_reconstruct_matches_shapes_and_runs_on_mesh(tiny_setup):
+    """Batched multi-window reconstruction: B windows in one denoise, sharded
+    over dp; outputs blend-compatible with the serial path."""
+    from aether_tpu.pipeline.windowing import blend_and_merge_window_results
+
+    cfg, dit, vae, text = tiny_setup
+    mesh = make_mesh(dp=2, tp=4)
+    pipe = AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32,
+                          mesh=mesh)
+    rng = np.random.default_rng(3)
+    video = (rng.uniform(0, 1, (25, 64, 96, 3)) * 255).astype(np.uint8)
+    starts = [0, 8]
+    windows = np.stack([video[s : s + 17] for s in starts])
+    outs = pipe.batch_reconstruct(windows, height=64, width=96, num_frames=17,
+                                  num_inference_steps=1, fps=12, seed=0)
+    assert len(outs) == 2
+    for o in outs:
+        assert o.rgb.shape == (17, 64, 96, 3)
+        assert np.all(np.isfinite(o.disparity))
+
+    # random weights decode to arbitrary (possibly left-handed) raymaps, which
+    # the pose-stitching math rightly rejects; substitute geometrically valid
+    # raymaps to exercise the blend stage (real checkpoints produce valid ones)
+    from aether_tpu.geometry.raymap import camera_pose_to_raymap
+
+    poses17 = np.broadcast_to(np.eye(4), (17, 4, 4)).copy()
+    poses17[:, 0, 3] = np.arange(17) * 0.05
+    intr = np.broadcast_to(
+        np.array([[96.0, 0, 48], [0, 96.0, 32], [0, 0, 1]]), (17, 3, 3)
+    ).copy()
+    valid_raymap = np.asarray(
+        camera_pose_to_raymap(poses17, intr, height=64, width=96)
+    ).astype(np.float32)
+    for o in outs:
+        o.raymap = valid_raymap.copy()
+    rgb, disparity, poses, pointmaps = blend_and_merge_window_results(
+        outs, starts, 64, 96, smooth_camera=False
+    )
+    assert rgb.shape == (25, 64, 96, 3) and poses.shape == (25, 4, 4)
