@@ -72,6 +72,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--smooth_method", type=str, default="kalman",
                    choices=["kalman", "simple"])
     p.add_argument("--sliding_window_stride", type=int, default=24)
+    p.add_argument("--batch_windows", type=int, default=1,
+                   help="Reconstruct N sliding windows per batched denoise "
+                        "(data-parallel across the device mesh).")
     p.add_argument("--post_reconstruction", action="store_true", default=True)
     p.add_argument("--no_post_reconstruction", dest="post_reconstruction",
                    action="store_false")
@@ -79,6 +82,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--align_pointmaps", action="store_true", default=False)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="If set, write a jax.profiler trace here.")
+    p.add_argument("--dp", type=int, default=None,
+                   help="Data-parallel mesh axis (requires multiple devices).")
+    p.add_argument("--tp", type=int, default=None,
+                   help="Tensor-parallel mesh axis.")
     return p.parse_args(argv)
 
 
@@ -93,6 +100,14 @@ def build_pipeline(args: argparse.Namespace):
     on_accel = jax.default_backend() not in ("cpu",)
     dtype = jnp.bfloat16 if on_accel else jnp.float32
 
+    mesh = None
+    if (getattr(args, "dp", None) or getattr(args, "tp", None)) and \
+            len(jax.devices()) > 1:
+        from aether_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=getattr(args, "dp", None),
+                         tp=getattr(args, "tp", None))
+
     if args.random_init is not None:
         from aether_tpu.models import init_dit_params, init_vae_params
 
@@ -106,7 +121,7 @@ def build_pipeline(args: argparse.Namespace):
             (1, cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim), np.float32
         )
         return AetherPipeline(cfg, dit_params, vae_params, text,
-                              compute_dtype=dtype), cfg
+                              compute_dtype=dtype, mesh=mesh), cfg
 
     if args.checkpoint is None:
         raise SystemExit(
@@ -120,7 +135,7 @@ def build_pipeline(args: argparse.Namespace):
     vae_params = load_checkpoint(os.path.join(args.checkpoint, "vae"))
     text = np.load(os.path.join(args.checkpoint, "text_embeds.npy"))
     return AetherPipeline(cfg, dit_params, vae_params, text,
-                          compute_dtype=dtype), cfg
+                          compute_dtype=dtype, mesh=mesh), cfg
 
 
 def _load_video(path: str) -> np.ndarray:
@@ -264,20 +279,37 @@ def main(argv=None) -> None:
             window_results, window_indices = [], get_window_starts(
                 len(video), args.num_frames, args.sliding_window_stride
             )
-            for start in window_indices:
-                with stage_timer(f"window@{start}"):
-                    out = pipeline(
-                        task="reconstruction",
-                        video=video[start : start + args.num_frames],
-                        raymap=raymap[start : start + args.num_frames]
-                        if raymap is not None else None,
-                        height=args.height, width=args.width,
-                        num_frames=args.num_frames, fps=args.fps,
-                        num_inference_steps=args.num_inference_steps,
-                        guidance_scale=1.0, use_dynamic_cfg=False,
-                        seed=args.seed,
+            if args.batch_windows > 1 and raymap is None:
+                for i in range(0, len(window_indices), args.batch_windows):
+                    chunk = window_indices[i : i + args.batch_windows]
+                    stacked = np.stack(
+                        [video[s : s + args.num_frames] for s in chunk]
                     )
-                window_results.append(out)
+                    with stage_timer(f"windows@{chunk[0]}x{len(chunk)}"):
+                        window_results.extend(
+                            pipeline.batch_reconstruct(
+                                stacked, height=args.height, width=args.width,
+                                num_frames=args.num_frames,
+                                num_inference_steps=args.num_inference_steps
+                                or 4,
+                                fps=args.fps, seed=args.seed,
+                            )
+                        )
+            else:
+                for start in window_indices:
+                    with stage_timer(f"window@{start}"):
+                        out = pipeline(
+                            task="reconstruction",
+                            video=video[start : start + args.num_frames],
+                            raymap=raymap[start : start + args.num_frames]
+                            if raymap is not None else None,
+                            height=args.height, width=args.width,
+                            num_frames=args.num_frames, fps=args.fps,
+                            num_inference_steps=args.num_inference_steps,
+                            guidance_scale=1.0, use_dynamic_cfg=False,
+                            seed=args.seed,
+                        )
+                    window_results.append(out)
             rgb, disparity, poses, pointmaps = blend_and_merge_window_results(
                 window_results, window_indices, args.height, args.width,
                 smooth_camera=args.smooth_camera,
