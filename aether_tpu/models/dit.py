@@ -116,31 +116,44 @@ def quantize_dit_params(params: Params, dtype=None) -> Params:
     Each weight W[..., in, out] is stored as ``{"q": (W / s).astype(dtype),
     "s": s}`` with a per-output-column scale s = max|W| / dtype_max, so the
     dequantized matmul is ``dot(x, q) * s`` — column scaling commutes with the
-    contraction, keeping the MXU path intact. Halves (fp8) or halves (int8)
-    resident weight bytes vs bf16; biases, norms and time-embed stay unquantized.
-    The reference has no quantized deployment path at all.
-    """
-    import jax.tree_util as jtu
+    contraction, keeping the MXU path intact. Halves resident weight bytes vs
+    bf16; biases, norms and time-embed stay unquantized. The reference has no
+    quantized deployment path at all.
 
+    MUTATES ``params`` leaf-by-leaf so each full-precision weight frees as
+    soon as its quantized twin exists: a functional tree_map would hold BOTH
+    trees (10.4 + 5.3 GB for AetherV1) and cross the 16 GB HBM cliff.
+    """
     if dtype is None:
         dtype = jnp.float8_e4m3fn
     fmax = float(jnp.finfo(dtype).max) if jnp.issubdtype(
         dtype, jnp.floating
     ) else float(jnp.iinfo(dtype).max)
 
-    def quant(path, leaf):
-        key = path[-1].key if hasattr(path[-1], "key") else None
-        if key not in _QUANT_WEIGHT_KEYS or getattr(leaf, "ndim", 0) < 2:
-            return leaf
+    def quant_leaf(leaf):
         w = jnp.asarray(leaf, jnp.float32)
         # reduce over the contraction ('in') axis only: stacked block weights
         # (L, in, out) keep per-layer per-column scales (L, out)
         s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / fmax
         s = jnp.maximum(s, 1e-12)
         q = (w / s).astype(dtype)
+        q.block_until_ready()  # materialize before the source leaf frees
         return {"q": q, "s": jnp.squeeze(s, axis=-2)}
 
-    return jtu.tree_map_with_path(quant, params)
+    def walk(node):
+        if isinstance(node, dict):
+            for key, value in node.items():
+                if (key in _QUANT_WEIGHT_KEYS
+                        and getattr(value, "ndim", 0) >= 2):
+                    node[key] = quant_leaf(value)  # old leaf freed here
+                else:
+                    walk(value)
+        elif isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+
+    walk(params)
+    return params
 
 
 def apply_rotary_emb(

@@ -173,7 +173,6 @@ def test_fp8_weight_quantization_close_to_bf16():
 
     cfg = DiTConfig.tiny()
     params = init_dit_params(jax.random.PRNGKey(0), cfg)
-    qparams = quantize_dit_params(params)
 
     f, h, w = 2, 8, 12
     hidden = jax.random.normal(jax.random.PRNGKey(1),
@@ -183,8 +182,12 @@ def test_fp8_weight_quantization_close_to_bf16():
         (1, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
     cos, sin = prepare_rotary_positional_embeddings(cfg, h * 8, w * 8, f, fps=12)
     args = (hidden, text, jnp.array([500]), jnp.asarray(cos), jnp.asarray(sin))
+    # full-precision forward FIRST: quantize_dit_params mutates in place
+    # (leaf-by-leaf, to halve peak memory on the real 16 GB chip)
     out = dit_forward(params, cfg, *args, attn_impl="xla")
+    qparams = quantize_dit_params(params)
     qout = dit_forward(qparams, cfg, *args, attn_impl="xla")
+    assert isinstance(params["blocks"]["attn"]["q_w"], dict)  # mutated in place
     rel = np.abs(np.asarray(out) - np.asarray(qout)).mean() / (
         np.abs(np.asarray(out)).mean() + 1e-9
     )
