@@ -57,7 +57,11 @@ def main() -> None:
     else:
         cfg = PipelineConfig.aetherv1()
 
+    def mark(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     key = jax.random.PRNGKey(0)
+    mark("init dit params")
     dit_params = init_dit_params(key, cfg.dit, dtype=dtype)
     # weight-only fp8 on the accelerator: halves resident DiT bytes (10.4 GB ->
     # 5.3 GB), which this tunneled chip's fluctuating memory budget needs;
@@ -68,9 +72,12 @@ def main() -> None:
     if weights_format == "fp8":
         from aether_tpu.models.dit import quantize_dit_params
 
+        mark("quantize fp8")
         dit_params = quantize_dit_params(dit_params)
+    mark("init vae params")
     vae_params = init_vae_params(jax.random.fold_in(key, 1), cfg.vae, dtype=dtype)
     _block(dit_params)
+    mark("params ready")
     text = np.zeros((1, cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim),
                     np.float32)
     pipe = AetherPipeline(cfg, dit_params, vae_params, text, compute_dtype=dtype)
@@ -98,11 +105,13 @@ def main() -> None:
                 time.sleep(30.0)
 
     # ---- warmup / compile ----
+    mark("warmup run")
     t0 = time.perf_counter()
     run_with_retry()
     compile_and_first_run_s = time.perf_counter() - t0
 
     # ---- e2e timed runs ----
+    mark("timed e2e runs")
     e2e_times = []
     for _ in range(3):
         t0 = time.perf_counter()
