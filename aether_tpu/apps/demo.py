@@ -99,6 +99,10 @@ def build_pipeline(args: argparse.Namespace):
 
     on_accel = jax.default_backend() not in ("cpu",)
     dtype = jnp.bfloat16 if on_accel else jnp.float32
+    if on_accel:
+        from aether_tpu.utils.profiling import warm_transfer_channel
+
+        warm_transfer_channel()  # must precede param allocation (see docstring)
 
     mesh = None
     if (getattr(args, "dp", None) or getattr(args, "tp", None)) and \

@@ -156,6 +156,80 @@ def quantize_dit_params(params: Params, dtype=None) -> Params:
     return params
 
 
+def init_quantized_dit_params(key: jax.Array, cfg: DiTConfig,
+                              dtype=None) -> Params:
+    """Random-init params DIRECTLY in the weight-only-quantized layout.
+
+    Never materializes the bf16 tree (10.4 GB for AetherV1) — peak memory is
+    the final quantized size (~5.3 GB). For real checkpoints quantize at
+    conversion time (``aether_tpu.io.convert --quantize fp8``); this is for
+    benchmarks and memory-constrained random-weight runs.
+    """
+    if dtype is None:
+        dtype = jnp.float8_e4m3fn
+    d = cfg.hidden_size
+    p = cfg.patch_size
+    L = cfg.num_layers
+    keys = _fold_keys(key)
+
+    def qw(shape, fan_in):
+        q = jax.random.uniform(next(keys), shape, jnp.float32, -2.0, 2.0
+                               ).astype(dtype)
+        q.block_until_ready()
+        s = jnp.full(shape[:-2] + shape[-1:],
+                     1.0 / (fan_in**0.5) / 2.0, jnp.float32)
+        return {"q": q, "s": s}
+
+    def bias(shape, fan_in):
+        scale = 1.0 / (fan_in**0.5)
+        return jax.random.uniform(next(keys), shape, jnp.bfloat16,
+                                  -scale, scale)
+
+    ones = lambda shape: jnp.ones(shape, jnp.bfloat16)  # noqa: E731
+    zeros = lambda shape: jnp.zeros(shape, jnp.bfloat16)  # noqa: E731
+    patch_in = cfg.in_channels * p * p
+    te = cfg.time_embed_dim
+
+    blocks = {
+        "norm1": {"w": qw((L, te, 6 * d), te), "b": bias((L, 6 * d), te),
+                  "ln_scale": ones((L, d)), "ln_bias": zeros((L, d))},
+        "norm2": {"w": qw((L, te, 6 * d), te), "b": bias((L, 6 * d), te),
+                  "ln_scale": ones((L, d)), "ln_bias": zeros((L, d))},
+        "attn": {
+            "q_w": qw((L, d, d), d), "q_b": bias((L, d), d),
+            "k_w": qw((L, d, d), d), "k_b": bias((L, d), d),
+            "v_w": qw((L, d, d), d), "v_b": bias((L, d), d),
+            "o_w": qw((L, d, d), d), "o_b": bias((L, d), d),
+            "norm_q_scale": ones((L, cfg.head_dim)),
+            "norm_q_bias": zeros((L, cfg.head_dim)),
+            "norm_k_scale": ones((L, cfg.head_dim)),
+            "norm_k_bias": zeros((L, cfg.head_dim)),
+        },
+        "mlp": {"w1": qw((L, d, cfg.mlp_dim), d),
+                "b1": bias((L, cfg.mlp_dim), d),
+                "w2": qw((L, cfg.mlp_dim, d), cfg.mlp_dim),
+                "b2": bias((L, d), cfg.mlp_dim)},
+    }
+    return {
+        "patch_embed": {
+            "proj_w": qw((patch_in, d), patch_in),
+            "proj_b": bias((d,), patch_in),
+            "text_w": qw((cfg.text_embed_dim, d), cfg.text_embed_dim),
+            "text_b": bias((d,), cfg.text_embed_dim),
+        },
+        "time_embed": {
+            "w1": qw((d, te), d), "b1": bias((te,), d),
+            "w2": qw((te, te), te), "b2": bias((te,), te),
+        },
+        "blocks": blocks,
+        "norm_final": {"scale": ones((d,)), "bias": zeros((d,))},
+        "norm_out": {"w": qw((te, 2 * d), te), "b": bias((2 * d,), te),
+                     "ln_scale": ones((d,)), "ln_bias": zeros((d,))},
+        "proj_out": {"w": qw((d, p * p * cfg.out_channels), d),
+                     "b": bias((p * p * cfg.out_channels,), d)},
+    }
+
+
 def apply_rotary_emb(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
 ) -> jnp.ndarray:

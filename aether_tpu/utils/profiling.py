@@ -51,6 +51,30 @@ def stage_report(reset: bool = False) -> Dict[str, Dict[str, float]]:
     return report
 
 
+def warm_transfer_channel() -> float:
+    """Establish the device->host transfer path BEFORE big allocations.
+
+    On tunneled/remote TPU runtimes the first D2H pull sets up a device-side
+    staging resource; if the first pull happens after multi-GB params are
+    resident, that setup fails with RESOURCE_EXHAUSTED and permanently wedges
+    the process. One tiny pull at process start (~4 bytes; observed one-time
+    cost up to ~5 min on this tunnel) makes all subsequent pulls reliable.
+    Returns the seconds spent; no-op cost on healthy local backends.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    t0 = _time.perf_counter()
+    _np.asarray(jnp.zeros((1,), jnp.float32))
+    dt = _time.perf_counter() - t0
+    logger.info("transfer channel warm (%.1fs, backend=%s)", dt,
+                jax.default_backend())
+    return dt
+
+
 @contextlib.contextmanager
 def device_trace(
     name: str, trace_dir: Optional[str] = None

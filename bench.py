@@ -60,20 +60,26 @@ def main() -> None:
     def mark(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+    if on_accel:
+        from aether_tpu.utils.profiling import warm_transfer_channel
+
+        mark("warming D2H channel (must precede big allocations)")
+        mark(f"channel warm in {warm_transfer_channel():.1f}s")
+
     key = jax.random.PRNGKey(0)
-    mark("init dit params")
-    dit_params = init_dit_params(key, cfg.dit, dtype=dtype)
     # weight-only fp8 on the accelerator: halves resident DiT bytes (10.4 GB ->
-    # 5.3 GB), which this tunneled chip's fluctuating memory budget needs;
-    # per-column scales keep matmul outputs within ~1% of bf16
+    # 5.3 GB) and never materializes the bf16 tree, which this chip's memory
+    # budget (16 GB minus the D2H staging reservation) needs
     weights_format = "bf16" if not on_accel else os.environ.get(
         "AETHER_WEIGHT_QUANT", "fp8"
     )
+    mark(f"init dit params ({weights_format})")
     if weights_format == "fp8":
-        from aether_tpu.models.dit import quantize_dit_params
+        from aether_tpu.models.dit import init_quantized_dit_params
 
-        mark("quantize fp8")
-        dit_params = quantize_dit_params(dit_params)
+        dit_params = init_quantized_dit_params(key, cfg.dit)
+    else:
+        dit_params = init_dit_params(key, cfg.dit, dtype=dtype)
     mark("init vae params")
     vae_params = init_vae_params(jax.random.fold_in(key, 1), cfg.vae, dtype=dtype)
     _block(dit_params)
