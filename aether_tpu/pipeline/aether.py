@@ -44,7 +44,11 @@ from aether_tpu.config import PipelineConfig
 from aether_tpu.models.dit import dit_forward
 from aether_tpu.models.rope import prepare_rotary_positional_embeddings
 from aether_tpu.schedule.dpm import SamplingPlan, dpm_step, make_sampling_plan
-from aether_tpu.utils.preprocess import preprocess_image, preprocess_video
+from aether_tpu.utils.preprocess import (
+    preprocess_image_u8,
+    preprocess_video,
+    preprocess_video_u8,
+)
 
 
 @dataclasses.dataclass
@@ -107,6 +111,11 @@ def _decode_chunk(config, dtype, vae_params, latents_cl, cache):
     from aether_tpu.models.vae import decode_frames
 
     return decode_frames(vae_params, config.vae, latents_cl.astype(dtype), cache)
+
+
+def _u8_to_unit(pixels_u8, dtype) -> jnp.ndarray:
+    """uint8 wire pixels -> [-1, 1] on device (4x fewer H2D bytes)."""
+    return jnp.asarray(pixels_u8).astype(dtype) / 127.5 - 1.0
 
 
 def _encode_moments_chunked(
@@ -554,12 +563,14 @@ class AetherPipeline:
         do_cfg = guidance_scale > 1.0
 
         # host-side precomputation: pixels, sampling plan, rope tables, guidance
+        # (uint8 wire format; normalized to [-1, 1] on device)
         if video is not None:
-            pixels = preprocess_video(video, height, width)
+            pixels = preprocess_video_u8(video, height, width)
         else:
-            pixels = preprocess_image(image, height, width)[None]  # (1, H, W, 3)
+            pixels = preprocess_image_u8(image, height, width)[None]
         goal_pixels = (
-            preprocess_image(goal, height, width)[None] if goal is not None else None
+            preprocess_image_u8(goal, height, width)[None]
+            if goal is not None else None
         )
         raymap_arr = None if raymap is None else jnp.asarray(np.asarray(raymap))
 
@@ -595,17 +606,17 @@ class AetherPipeline:
 
         if task == "reconstruction":
             condition = encode(cfgd, dtype, self.vae_params,
-                               jnp.asarray(pixels), key_vae)
+                               _u8_to_unit(pixels, dtype), key_vae)
         elif task == "prediction":
             img_lat = encode(cfgd, dtype, self.vae_params,
-                             jnp.asarray(pixels), key_vae)
+                             _u8_to_unit(pixels, dtype), key_vae)
             padding = jnp.zeros((1, f_lat - 1, lat_c, h_lat, w_lat), dtype)
             condition = jnp.concatenate([img_lat, padding], axis=1)
         else:  # planning
             img_lat = encode(cfgd, dtype, self.vae_params,
-                             jnp.asarray(pixels), key_vae)
+                             _u8_to_unit(pixels, dtype), key_vae)
             goal_lat = encode(cfgd, dtype, self.vae_params,
-                              jnp.asarray(goal_pixels), key_goal)
+                              _u8_to_unit(goal_pixels, dtype), key_goal)
             padding = jnp.zeros((1, f_lat - 2, lat_c, h_lat, w_lat), dtype)
             condition = jnp.concatenate([img_lat, padding, goal_lat], axis=1)
 
@@ -704,7 +715,7 @@ class AetherPipeline:
 
         dtype = self.compute_dtype
         pixels = np.stack(
-            [np.asarray(preprocess_video(v, height, width)) for v in videos]
+            [preprocess_video_u8(v, height, width) for v in videos]
         )
         f_lat = (num_frames - 1) // cfg.vae_scale_factor_temporal + 1
         h_lat = height // cfg.vae_scale_factor_spatial
@@ -719,7 +730,7 @@ class AetherPipeline:
         key = jax.random.PRNGKey(seed)
         key_vae, key_denoise = jax.random.split(key)
 
-        batch = jnp.asarray(pixels)
+        batch = _u8_to_unit(pixels, dtype)
         if self.mesh is not None:
             batch = jax.device_put(
                 batch,

@@ -98,3 +98,21 @@ def preprocess_video(
     else:
         frames = list(video)
     return np.stack([preprocess_image(f, height, width) for f in frames], axis=0)
+
+
+def preprocess_video_u8(
+    video: Union[np.ndarray, Sequence], height: int, width: int
+) -> np.ndarray:
+    """Video -> (F, height, width, 3) uint8 wire format.
+
+    Same resize/crop as :func:`preprocess_video` but returns uint8 so the
+    host->device transfer moves 4x fewer bytes (tunneled TPUs are
+    transfer-bound); the [-1, 1] normalization happens on device.
+    """
+    f32 = preprocess_video(video, height, width)  # [-1, 1]
+    return np.round((f32 + 1.0) * 127.5).astype(np.uint8)
+
+
+def preprocess_image_u8(image, height: int, width: int) -> np.ndarray:
+    f32 = preprocess_image(image, height, width)
+    return np.round((f32 + 1.0) * 127.5).astype(np.uint8)
