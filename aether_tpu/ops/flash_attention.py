@@ -116,8 +116,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, S, D]; full (non-causal) attention.
