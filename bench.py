@@ -122,7 +122,7 @@ def main() -> None:
     for _ in range(3):
         t0 = time.perf_counter()
         run_with_retry()
-        e2e_times.append(time.perf_counter() - t0)
+        e2e_times.append(round(time.perf_counter() - t0, 3))
     e2e_s = float(np.median(e2e_times))
 
     # ---- sub-metrics on the staged internals (best-effort: a contended
@@ -151,6 +151,7 @@ def main() -> None:
         "vae_decode_fps": round(num_frames / vae_decode_s, 2)
         if vae_decode_s == vae_decode_s else None,
         "compile_plus_first_run_s": round(compile_and_first_run_s, 1),
+        "e2e_runs_s": e2e_times,  # D2H throughput on this link swings 20x
         "backend": backend,
         "weights": weights_format,
         "config": f"{num_frames}f x {height}x{width}, {steps} steps, "
