@@ -44,11 +44,7 @@ from aether_tpu.config import PipelineConfig
 from aether_tpu.models.dit import dit_forward
 from aether_tpu.models.rope import prepare_rotary_positional_embeddings
 from aether_tpu.schedule.dpm import SamplingPlan, dpm_step, make_sampling_plan
-from aether_tpu.utils.preprocess import (
-    preprocess_image_u8,
-    preprocess_video,
-    preprocess_video_u8,
-)
+from aether_tpu.utils.preprocess import preprocess_image_u8, preprocess_video_u8
 
 
 @dataclasses.dataclass
