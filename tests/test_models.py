@@ -196,3 +196,44 @@ def test_fp8_weight_quantization_close_to_bf16():
     attn_q = qparams["blocks"]["attn"]["q_w"]
     assert attn_q["q"].dtype == jnp.float8_e4m3fn
     assert attn_q["s"].shape == (cfg.num_layers, cfg.hidden_size)
+
+
+def test_int8_weight_quantization():
+    """int8 weight-only path: same layout, coarser dtype, still close."""
+    from aether_tpu.models.dit import quantize_dit_params
+
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    f, h, w = 2, 8, 12
+    hidden = jax.random.normal(jax.random.PRNGKey(1),
+                               (1, f, cfg.in_channels, h, w), jnp.float32)
+    text = jnp.zeros((1, cfg.max_text_seq_length, cfg.text_embed_dim))
+    cos, sin = prepare_rotary_positional_embeddings(cfg, h * 8, w * 8, f, fps=12)
+    args = (hidden, text, jnp.array([100]), jnp.asarray(cos), jnp.asarray(sin))
+    out = dit_forward(params, cfg, *args, attn_impl="xla")
+    qparams = quantize_dit_params(params, dtype=jnp.int8)
+    qout = dit_forward(qparams, cfg, *args, attn_impl="xla")
+    assert qparams["blocks"]["mlp"]["w1"]["q"].dtype == jnp.int8
+    rel = np.abs(np.asarray(out) - np.asarray(qout)).mean() / (
+        np.abs(np.asarray(out)).mean() + 1e-9
+    )
+    assert rel < 0.05, rel  # int8 per-column is tighter than fp8
+
+
+def test_quantized_init_layout_matches_quantized_conversion():
+    """Direct fp8-layout init must produce the same tree structure as
+    quantizing a bf16 init (so checkpoints and benches are interchangeable)."""
+    from aether_tpu.models.dit import (
+        init_quantized_dit_params,
+        quantize_dit_params,
+    )
+
+    cfg = DiTConfig.tiny()
+    a = init_quantized_dit_params(jax.random.PRNGKey(0), cfg)
+    b = quantize_dit_params(init_dit_params(jax.random.PRNGKey(0), cfg))
+    ta = jax.tree_util.tree_structure(a)
+    tb = jax.tree_util.tree_structure(b)
+    assert ta == tb, (ta, tb)
+    sa = jax.tree_util.tree_map(lambda x: x.shape, a)
+    sb = jax.tree_util.tree_map(lambda x: x.shape, b)
+    assert sa == sb
