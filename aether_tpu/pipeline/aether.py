@@ -636,9 +636,27 @@ class AetherPipeline:
 
         # ---- stage 3: chunked VAE decode + output transforms ----
         decode = _decode_pixels_tiled if tiling else _decode_pixels
+        compact = self.compact_transfer
+        if compact is None:
+            compact = jax.default_backend() != "cpu"
+
+        def _start_pull(arr):
+            # drain first: pulling buffers with deep pending work exhausts
+            # the remote runtime's transfer resources on tunneled devices
+            arr.block_until_ready()
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+            return arr
 
         rgb = decode(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
         rgb = jnp.clip(rgb * 0.5 + 0.5, 0.0, 1.0)
+        if compact:
+            rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
+        # start the big rgb pull NOW so it rides the link while the disparity
+        # decode computes (D2H here is slow enough to hide an entire decode)
+        rgb = _start_pull(rgb[0])
 
         disparity = decode(
             cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
@@ -646,28 +664,15 @@ class AetherPipeline:
         disparity = jnp.square(
             disparity.astype(jnp.float32).mean(axis=-1) * 0.5 + 0.5
         )
-
-        raymap_out = unpack_raymap(
-            latents[:, :, 2 * lat_c :].astype(jnp.float32), int(rgb.shape[1])
-        )
-
-        compact = self.compact_transfer
-        if compact is None:
-            compact = jax.default_backend() != "cpu"
         if compact:
-            rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
             disparity = disparity.astype(jnp.float16)
-        rgb, disparity, raymap_out = rgb[0], disparity[0], raymap_out[0]
-        # drain the device queue before starting transfers: pulling buffers
-        # with deep pending work exhausts the remote runtime's transfer
-        # resources on tunneled devices
-        for arr in (rgb, disparity, raymap_out):
-            arr.block_until_ready()
-        for arr in (rgb, disparity, raymap_out):  # overlap the three pulls
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                pass
+        disparity = _start_pull(disparity[0])
+
+        raymap_out = _start_pull(
+            unpack_raymap(
+                latents[:, :, 2 * lat_c :].astype(jnp.float32), num_frames
+            )[0]
+        )
         rgb = np.asarray(rgb)
         if compact:
             rgb = rgb.astype(np.float32) / 255.0
