@@ -237,3 +237,49 @@ def test_quantized_init_layout_matches_quantized_conversion():
     sa = jax.tree_util.tree_map(lambda x: x.shape, a)
     sb = jax.tree_util.tree_map(lambda x: x.shape, b)
     assert sa == sb
+
+
+def test_rope_golden_angles_and_fps_factor():
+    """3D RoPE golden values: dim split d/4|3d/8|3d/8, linspace grid semantics,
+    fps_factor temporal scaling, and the interleaved-pair rotation identity."""
+    import math
+
+    from aether_tpu.models.rope import (
+        get_3d_rotary_pos_embed,
+        get_resize_crop_region_for_grid,
+    )
+    from aether_tpu.models.dit import apply_rotary_emb
+
+    d, gh, gw, t = 16, 3, 4, 2
+    crops = get_resize_crop_region_for_grid((gh, gw), gw, gh)  # full grid
+    cos, sin = get_3d_rotary_pos_embed(d, crops, (gh, gw), t)
+    assert cos.shape == (t * gh * gw, d)
+
+    dim_t, dim_h = d // 4, d // 8 * 3
+    # token (t=1, h=0, w=0): temporal angle at freq_0 (=1) is grid_t[1]
+    grid_t1 = t * (t - 1) / t / (t - 1) * 1  # linspace(0, t*(t-1)/t, t)[1]
+    tok = gh * gw  # flat index of (1, 0, 0)
+    assert cos[tok, 0] == pytest.approx(math.cos(grid_t1), abs=1e-6)
+    assert sin[tok, 1] == pytest.approx(math.sin(grid_t1), abs=1e-6)  # pair
+    # token (0, 1, 0): first height angle = grid_h[1]
+    grid_h = np.linspace(0, gh * (gh - 1) / gh, gh)
+    tok_h = gw
+    assert cos[tok_h, dim_t] == pytest.approx(math.cos(grid_h[1]), abs=1e-6)
+    # spatial dims have NO temporal dependence and vice versa
+    assert cos[tok, dim_t] == pytest.approx(1.0)  # h=0 -> angle 0
+    assert cos[tok_h, 0] == pytest.approx(1.0)  # t=0 -> angle 0
+
+    # fps_factor scales ONLY the temporal angles
+    cos2, _ = get_3d_rotary_pos_embed(d, crops, (gh, gw), t, fps_factor=0.5)
+    assert cos2[tok, 0] == pytest.approx(math.cos(0.5 * grid_t1), abs=1e-6)
+    np.testing.assert_allclose(cos2[tok_h, dim_t:], cos[tok_h, dim_t:])
+
+    # rotation identity: a (1,0) pair rotates to (cos a, sin a)
+    x = np.zeros((1, 1, t * gh * gw, d), np.float32)
+    x[..., 0] = 1.0
+    rotated = np.asarray(apply_rotary_emb(jnp.asarray(x), jnp.asarray(cos),
+                                          jnp.asarray(sin)))
+    np.testing.assert_allclose(rotated[0, 0, tok, 0], math.cos(grid_t1),
+                               atol=1e-6)
+    np.testing.assert_allclose(rotated[0, 0, tok, 1], math.sin(grid_t1),
+                               atol=1e-6)
