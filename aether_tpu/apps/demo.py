@@ -52,7 +52,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--fps", type=int, default=12, choices=[8, 10, 12, 15, 24])
     p.add_argument("--num_inference_steps", type=int, default=None)
     p.add_argument("--guidance_scale", type=float, default=None)
-    p.add_argument("--use_dynamic_cfg", action="store_true", default=True)
+    p.add_argument("--use_dynamic_cfg", dest="use_dynamic_cfg",
+                   action="store_true", default=None,
+                   help="Force dynamic CFG on (default: task-dependent).")
+    p.add_argument("--no_dynamic_cfg", dest="use_dynamic_cfg",
+                   action="store_false",
+                   help="Force dynamic CFG off.")
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=720)
     p.add_argument("--num_frames", type=int, default=41)
@@ -280,6 +285,11 @@ def main(argv=None) -> None:
         if args.task == "reconstruction":
             assert args.video is not None, "--video is required for reconstruction"
             video = _load_video(args.video)
+            from aether_tpu.pipeline.windowing import fit_num_frames
+
+            args.num_frames = fit_num_frames(
+                len(video), args.num_frames, _cfg.allowed_num_frames
+            )
             window_results, window_indices = [], get_window_starts(
                 len(video), args.num_frames, args.sliding_window_stride
             )

@@ -87,9 +87,11 @@ document.getElementById('f').addEventListener('submit', async ev=>{
 class JobRunner:
     """Single worker thread executing queued pipeline jobs."""
 
-    def __init__(self, pipeline, output_dir: str, max_queue: int = 20):
+    def __init__(self, pipeline, output_dir: str, max_queue: int = 20,
+                 max_jobs_kept: int = 100):
         self.pipeline = pipeline
         self.output_dir = output_dir
+        self.max_jobs_kept = max_jobs_kept
         self.jobs: Dict[str, dict] = {}
         self.queue: "queue.Queue[str]" = queue.Queue(maxsize=max_queue)
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -97,9 +99,18 @@ class JobRunner:
 
     def submit(self, params: dict) -> str:
         job_id = uuid.uuid4().hex[:12]
-        self.jobs[job_id] = {"status": "queued", "params": params,
-                             "artifacts": []}
-        self.queue.put_nowait(job_id)  # raises queue.Full when saturated
+        entry = {"status": "queued", "params": params, "artifacts": []}
+        try:
+            self.jobs[job_id] = entry
+            self.queue.put_nowait(job_id)  # raises queue.Full when saturated
+        except queue.Full:
+            del self.jobs[job_id]  # don't leak a zombie 'queued' entry
+            raise
+        # evict oldest finished jobs beyond the cap (dicts preserve order)
+        finished = [jid for jid, j in self.jobs.items()
+                    if j["status"] in ("done", "error")]
+        for jid in finished[: max(0, len(self.jobs) - self.max_jobs_kept)]:
+            del self.jobs[jid]
         return job_id
 
     def status(self, job_id: str) -> Optional[dict]:
@@ -121,6 +132,8 @@ class JobRunner:
                 job["status"] = "error"
                 job["error"] = f"{exc}"
                 job["trace"] = traceback.format_exc()
+            finally:
+                job["params"] = None  # drop the pixel arrays once finished
 
     def _run(self, job_id: str, params: dict) -> list:
         from aether_tpu.apps.demo import save_output
@@ -150,8 +163,14 @@ class JobRunner:
         )
 
         if task == "reconstruction":
+            from aether_tpu.pipeline.windowing import fit_num_frames
+
             video = params["video_array"]
             stride = int(params.get("stride", 24))
+            num_frames = fit_num_frames(
+                len(video), num_frames,
+                self.pipeline.config.allowed_num_frames,
+            )
             window_results, window_indices = [], get_window_starts(
                 len(video), num_frames, stride
             )
@@ -258,9 +277,14 @@ def make_handler(runner: JobRunner, raymap_dir: Optional[str]):
                 else:
                     self._json(status)
             elif self.path.startswith("/outputs/"):
-                rel = os.path.normpath(self.path[len("/outputs/"):])
-                full = os.path.join(runner.output_dir, rel)
-                if rel.startswith("..") or not os.path.isfile(full):
+                root = os.path.realpath(runner.output_dir)
+                full = os.path.realpath(
+                    os.path.join(root, self.path[len("/outputs/"):].lstrip("/"))
+                )
+                # containment check: realpath must stay under the output root
+                # (normpath alone misses absolute paths and symlinks)
+                if (not full.startswith(root + os.sep)
+                        or not os.path.isfile(full)):
                     self._json({"error": "not found"}, 404)
                     return
                 with open(full, "rb") as f:

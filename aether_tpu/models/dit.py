@@ -136,7 +136,10 @@ def quantize_dit_params(params: Params, dtype=None) -> Params:
         # (L, in, out) keep per-layer per-column scales (L, out)
         s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / fmax
         s = jnp.maximum(s, 1e-12)
-        q = (w / s).astype(dtype)
+        scaled = w / s
+        if not jnp.issubdtype(dtype, jnp.floating):
+            scaled = jnp.round(scaled)  # round-to-nearest, not truncation
+        q = scaled.astype(dtype)
         q.block_until_ready()  # materialize before the source leaf frees
         return {"q": q, "s": jnp.squeeze(s, axis=-2)}
 

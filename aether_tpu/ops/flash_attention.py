@@ -77,8 +77,8 @@ def _flash_kernel(
     )  # (block_q, block_k)
     s = s * sm_scale
 
-    # Mask out padded kv positions (no-op when the length divides the block).
-    if kv_len % block_k != 0:
+    # Mask out padded kv positions (no-op when nothing is padded).
+    if kv_len < num_kv_blocks * block_k:
         col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, _NEG_INF)
 

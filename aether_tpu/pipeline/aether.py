@@ -534,7 +534,7 @@ class AetherPipeline:
         num_frames: Optional[int] = None,
         num_inference_steps: Optional[int] = None,
         guidance_scale: Optional[float] = None,
-        use_dynamic_cfg: bool = False,
+        use_dynamic_cfg: Optional[bool] = None,
         fps: Optional[int] = None,
         seed: Optional[int] = None,
         key: Optional[jax.Array] = None,
@@ -545,17 +545,23 @@ class AetherPipeline:
                     else "planning" if goal is not None else "prediction")
         height = height or cfg.dit.sample_height * cfg.vae_scale_factor_spatial
         width = width or cfg.dit.sample_width * cfg.vae_scale_factor_spatial
-        num_frames = num_frames or cfg.dit.sample_frames
+        if num_frames is None:
+            # the checkpoint's sample_frames (49) predates the Aether frame
+            # whitelist; default to the longest supported window
+            num_frames = max(cfg.allowed_num_frames)
         fps = fps or cfg.base_fps
 
         self.check_inputs(task, image, video, goal, raymap, height, width,
                           num_frames, fps)
 
-        num_inference_steps = (
-            num_inference_steps or dict(cfg.default_num_inference_steps)[task]
-        )
-        guidance_scale = guidance_scale or dict(cfg.default_guidance_scale)[task]
-        use_dynamic_cfg = use_dynamic_cfg or dict(cfg.default_use_dynamic_cfg)[task]
+        # None means "task default"; explicit falsy values (0 steps is
+        # invalid anyway, guidance 0.0, dynamic_cfg False) are honored
+        if num_inference_steps is None:
+            num_inference_steps = dict(cfg.default_num_inference_steps)[task]
+        if guidance_scale is None:
+            guidance_scale = dict(cfg.default_guidance_scale)[task]
+        if use_dynamic_cfg is None:
+            use_dynamic_cfg = dict(cfg.default_use_dynamic_cfg)[task]
         do_cfg = guidance_scale > 1.0
 
         # host-side precomputation: pixels, sampling plan, rope tables, guidance
@@ -731,6 +737,10 @@ class AetherPipeline:
         key = jax.random.PRNGKey(seed)
         key_vae, key_denoise = jax.random.split(key)
 
+        tiling = self.vae_tiling
+        if tiling is None:
+            tiling = h_lat > 32 or w_lat > 48
+
         batch = _u8_to_unit(pixels, dtype)
         if self.mesh is not None:
             batch = jax.device_put(
@@ -739,9 +749,19 @@ class AetherPipeline:
                     self.mesh, jax.sharding.PartitionSpec("dp")
                 ),
             )
-        mean, logvar = _encode_moments_chunked(cfg, dtype, self.vae_params,
-                                               batch)
-        condition = _finish_encode(cfg, dtype, mean, logvar, key_vae)
+        if tiling:
+            # per-window tiled encode (the batched full-frame encoder does not
+            # fit beside the DiT on the 16 GB target chip)
+            conds = [
+                _encode_pixels_tiled(cfg, dtype, self.vae_params, batch[i],
+                                     jax.random.fold_in(key_vae, i))
+                for i in range(bsz)
+            ]
+            condition = jnp.concatenate(conds, axis=0)
+        else:
+            mean, logvar = _encode_moments_chunked(cfg, dtype, self.vae_params,
+                                                   batch)
+            condition = _finish_encode(cfg, dtype, mean, logvar, key_vae)
         camera = jnp.zeros((bsz, f_lat, 24, h_lat, w_lat), dtype)
         condition_latents = jnp.concatenate([condition, camera], axis=2)
 
@@ -755,16 +775,27 @@ class AetherPipeline:
             )
 
         lat_c = cfg.vae.latent_channels
-        rgb = _decode_pixels(cfg, dtype, self.vae_params, latents[:, :, :lat_c])
-        rgb = np.asarray(
-            jnp.clip(rgb.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
-        )
-        disparity = _decode_pixels(
+        decode = _decode_pixels_tiled if tiling else _decode_pixels
+        compact = self.compact_transfer
+        if compact is None:
+            compact = jax.default_backend() != "cpu"
+
+        rgb = decode(cfg, dtype, self.vae_params, latents[:, :, :lat_c])
+        rgb = jnp.clip(rgb.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+        if compact:
+            rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
+        rgb = np.asarray(rgb)
+        if compact:
+            rgb = rgb.astype(np.float32) / 255.0
+        disparity = decode(
             cfg, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
         )
-        disparity = np.asarray(
-            jnp.square(disparity.astype(jnp.float32).mean(axis=-1) * 0.5 + 0.5)
+        disparity = jnp.square(
+            disparity.astype(jnp.float32).mean(axis=-1) * 0.5 + 0.5
         )
+        if compact:
+            disparity = disparity.astype(jnp.float16)
+        disparity = np.asarray(disparity).astype(np.float32)
         raymap = np.asarray(
             unpack_raymap(latents[:, :, 2 * lat_c :].astype(jnp.float32),
                           num_frames)

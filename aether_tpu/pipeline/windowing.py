@@ -28,14 +28,34 @@ from aether_tpu.geometry.transforms import compute_scale
 def get_window_starts(
     total_frames: int, sliding_window_size: int, temporal_stride: int
 ) -> List[int]:
-    """Window start indices covering [0, total_frames) with a tail window."""
+    """Window start indices covering [0, total_frames) with a tail window.
+
+    A video no longer than one window gets the single start [0] (callers must
+    shrink the window to a valid num_frames first for short clips).
+    """
+    if total_frames <= sliding_window_size:
+        return [0]
     starts = list(range(0, total_frames - sliding_window_size + 1, temporal_stride))
-    if (
-        total_frames > sliding_window_size
-        and (total_frames - sliding_window_size) % temporal_stride != 0
-    ):
+    if (total_frames - sliding_window_size) % temporal_stride != 0:
         starts.append(total_frames - sliding_window_size)
     return starts
+
+
+def fit_num_frames(total_frames: int, requested: int,
+                   allowed=(17, 25, 33, 41)) -> int:
+    """Largest allowed window <= min(requested, video length).
+
+    The eval drivers shrink the window for short clips (reference
+    ``launch_aether.py:87-89``); apps use this to avoid running windows
+    longer than the video (which the pipeline would reject).
+    """
+    usable = [n for n in allowed if n <= min(requested, total_frames)]
+    if not usable:
+        raise ValueError(
+            f"video too short: {total_frames} frames < the smallest "
+            f"supported window ({min(allowed)})"
+        )
+    return max(usable)
 
 
 def blend_and_merge_window_results(

@@ -138,6 +138,11 @@ def latent_batches(
     if not files:
         raise FileNotFoundError(f"no .npz latents under {latent_dir}")
     files = shard_sequences(files, process_index, process_count)
+    if len(files) < batch_size:
+        raise ValueError(
+            f"batch_size={batch_size} exceeds the {len(files)} latent files "
+            f"in this shard of {latent_dir}"
+        )
     rng = np.random.default_rng(seed)
     rope_cache: Dict[tuple, tuple] = {}
 

@@ -1,6 +1,7 @@
 """Flash attention kernel vs reference attention (interpret mode on CPU)."""
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import pytest
 
@@ -50,3 +51,14 @@ def test_flash_bf16():
     ref = attention_reference(q, k, v).astype(jnp.float32)
     out = flash_attention(q, k, v, interpret=True).astype(jnp.float32)
     assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+
+
+def test_asymmetric_blocks_mask_padded_keys():
+    """Regression: seq divisible by block_k but not block_q still pads K/V;
+    the padding mask must key off the padded length, not kv_len % block_k."""
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 384, 32), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 384, 32), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 384, 32), jnp.float32)
+    ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, block_q=256, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -219,3 +219,35 @@ def test_tiled_encode_matches_full_approximately():
     # groupnorm-statistics drift only; gross disagreement means a seam bug
     diff = np.abs(np.asarray(full) - np.asarray(tiled))
     assert diff.mean() < 0.2, diff.mean()
+
+
+def test_fit_num_frames_and_short_video_windows():
+    from aether_tpu.pipeline.windowing import fit_num_frames, get_window_starts
+
+    assert fit_num_frames(100, 41) == 41
+    assert fit_num_frames(30, 41) == 25  # shrink to largest allowed window
+    assert fit_num_frames(17, 41) == 17
+    with pytest.raises(ValueError):
+        fit_num_frames(10, 41)
+    assert get_window_starts(17, 17, 8) == [0]  # video == one window
+    assert get_window_starts(12, 17, 8) == [0]  # shorter than window
+
+
+def test_explicit_falsy_overrides_honored(tiny_pipeline):
+    """use_dynamic_cfg=False for prediction must NOT be re-enabled by the task
+    default (regression for the 'x or default' pattern)."""
+    from unittest import mock
+
+    import aether_tpu.pipeline.aether as mod
+
+    rng = np.random.default_rng(0)
+    image = (rng.uniform(0, 1, (64, 96, 3)) * 255).astype(np.uint8)
+    with mock.patch.object(mod, "dynamic_cfg_schedule",
+                           wraps=mod.dynamic_cfg_schedule) as spy:
+        tiny_pipeline(task="prediction", image=image, height=64, width=96,
+                      num_frames=17, num_inference_steps=1,
+                      use_dynamic_cfg=False, seed=0)
+        assert spy.call_count == 0  # static guidance used
+        tiny_pipeline(task="prediction", image=image, height=64, width=96,
+                      num_frames=17, num_inference_steps=1, seed=0)
+        assert spy.call_count == 1  # None -> task default (dynamic on)
