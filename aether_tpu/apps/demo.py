@@ -68,8 +68,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Converted orbax/npz checkpoint directory "
                         "(dit.npz / vae.npz / text_embeds.npy).")
     p.add_argument("--random-init", dest="random_init", type=str, default=None,
-                   choices=["tiny", "aetherv1"],
-                   help="Skip checkpoint loading; random weights (smoke runs).")
+                   choices=["tiny", "aetherv1", "aetherv1-fp8"],
+                   help="Skip checkpoint loading; random weights (smoke runs; "
+                        "-fp8 uses the quantized layout for 16 GB chips).")
     p.add_argument("--config", type=str, default="aetherv1",
                    choices=["aetherv1", "tiny"],
                    help="Model topology of --checkpoint.")
@@ -123,7 +124,12 @@ def build_pipeline(args: argparse.Namespace):
         cfg = (PipelineConfig.tiny() if args.random_init == "tiny"
                else PipelineConfig.aetherv1())
         key = jax.random.PRNGKey(0)
-        dit_params = init_dit_params(key, cfg.dit, dtype=dtype)
+        if args.random_init == "aetherv1-fp8":
+            from aether_tpu.models.dit import init_quantized_dit_params
+
+            dit_params = init_quantized_dit_params(key, cfg.dit)
+        else:
+            dit_params = init_dit_params(key, cfg.dit, dtype=dtype)
         vae_params = init_vae_params(jax.random.fold_in(key, 1), cfg.vae,
                                      dtype=dtype)
         text = np.zeros(
