@@ -112,10 +112,20 @@ def group_norm(
 
 
 def _nearest_resize(z: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
-    """torch-style nearest resize of [B, T, H, W, C] to (t, h, w): idx = floor(i*in/out)."""
+    """torch-style nearest resize of [B, T, H, W, C] to (t, h, w): idx = floor(i*in/out).
+
+    Integer upscale factors (every case in this VAE: 2x spatial upsampling and
+    the zq broadcasts at 1/2/4/8x) take the gather-free ``jnp.repeat`` path —
+    TPU gathers are an order of magnitude slower than the broadcast+reshape
+    that a uniform repeat lowers to.
+    """
     for axis, out_n in zip((1, 2, 3), shape):
         in_n = z.shape[axis]
-        if in_n != out_n:
+        if in_n == out_n:
+            continue
+        if out_n % in_n == 0:  # exact upscale: floor(i*in/out) == i // k
+            z = jnp.repeat(z, out_n // in_n, axis=axis)
+        else:
             idx = (jnp.arange(out_n) * in_n // out_n).astype(jnp.int32)
             z = jnp.take(z, idx, axis=axis)
     return z
