@@ -100,15 +100,24 @@ def _pointwise(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.
 def group_norm(
     x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, groups: int, eps: float
 ) -> jnp.ndarray:
-    """GroupNorm over (T, H, W, C/g) per (batch, group) — torch 5D semantics."""
+    """GroupNorm over (T, H, W, C/g) per (batch, group) — torch 5D semantics.
+
+    Single-pass moments (E[x^2] - E[x]^2): both reductions stream straight
+    from the bf16 input. The two-pass form square(x - mean) depends on the
+    reduce result, so XLA materializes a full f32 temp of the activation —
+    ~1 GB per 480p decode chunk and the difference between fitting and OOM
+    at batch 2.
+    """
     btype = x.dtype
     b, t, h, w, c = x.shape
-    xf = x.astype(jnp.float32).reshape(b, t, h, w, groups, c // groups)
-    mean = jnp.mean(xf, axis=(1, 2, 3, 5), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3, 5), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(b, t, h, w, c)
-    return (xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(btype)
+    xg = x.reshape(b, t, h, w, groups, c // groups)
+    xf = xg.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=(1, 2, 3, 5), keepdims=True)
+    m2 = jnp.mean(jnp.square(xf), axis=(1, 2, 3, 5), keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    y = (xf - m1) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, t, h, w, c)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(btype)
 
 
 def _nearest_resize(z: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
@@ -230,25 +239,72 @@ def _downsample3d(x: jnp.ndarray, p: Params, compress_time: bool) -> jnp.ndarray
     )
 
 
+def _fold_upsample_kernel(k3: jnp.ndarray) -> jnp.ndarray:
+    """Fold a 3x3 kernel into four 2x2 parity kernels for subpixel upsampling.
+
+    nearest-2x-upsample + conv3x3(pad 1) computes, for output parity (a, b):
+      out[2i+a, 2j+b] = sum_{u,v} K[u,v] * x[i + rmap_a(u), j + rmap_b(v)]
+    with rmap_0 = (-1, 0, 0) and rmap_1 = (0, 0, 1) (floor((a+u-1)/2)). Each
+    parity therefore sees a 2x2 effective kernel over low-res pixels — 4/9 of
+    the conv FLOPs at 4x better MXU contraction/output widths.
+
+    Expressed as ONE input-dilated (transposed-style) conv so XLA's conv
+    rewriter splits it into efficient parity convs and the interleave is the
+    conv's own output layout (an explicit slice/stack interleave materializes
+    multi-GB layout copies at the 480p stage).
+
+    With cross-correlation semantics, lhs_dilation=2 and padding (2, 2):
+      out[2i+a] needs x[i + rmap_a] with rmap_0 = {-1: K0, 0: K1+K2},
+      rmap_1 = {0: K0+K1, +1: K2}  (rmap_a(u) = floor((a+u-1)/2)),
+    which folds to the 4-tap kernel [K0, K0+K1, K1+K2, K2] per axis.
+
+    k3: (1, 3, 3, Cin, Cout) -> (1, 4, 4, Cin, Cout).
+    """
+    k = k3[0]  # (3, 3, Cin, Cout)
+    rows = jnp.stack([k[0], k[0] + k[1], k[1] + k[2], k[2]])  # (4, 3, Ci, Co)
+    cols = jnp.stack(
+        [rows[:, 0], rows[:, 0] + rows[:, 1], rows[:, 1] + rows[:, 2],
+         rows[:, 2]], axis=1)  # (4, 4, Cin, Cout)
+    return cols[None]
+
+
 def _upsample3d(x: jnp.ndarray, p: Params, compress_time: bool) -> jnp.ndarray:
-    """Nearest 2x upsample (first-frame-preserving temporally) + k3 conv."""
+    """Nearest 2x upsample (first-frame-preserving temporally) + k3 conv.
+
+    The spatial 2x + per-frame 3x3 conv is computed as a low-res 2x2 conv to
+    4 parity channel groups + depth-to-space (exactly equivalent, see
+    ``_fold_upsample_kernel``); the temporal repeat happens first, at low
+    resolution. Mirrors diffusers CogVideoXUpsample3D semantics
+    (nearest-exact 2x + Conv2d(k3, p1), first frame un-repeated temporally).
+    """
     b, t, h, w, c = x.shape
 
-    if compress_time:
-        if t > 1 and t % 2 == 1:
-            x_first = _nearest_resize(x[:, :1], (1, 2 * h, 2 * w))
-            x_rest = _nearest_resize(x[:, 1:], (2 * (t - 1), 2 * h, 2 * w))
-            x = jnp.concatenate([x_first, x_rest], axis=1)
-        elif t > 1:
-            x = _nearest_resize(x, (2 * t, 2 * h, 2 * w))
+    if compress_time and t > 1:
+        if t % 2 == 1:
+            x = jnp.concatenate([x[:, :1], jnp.repeat(x[:, 1:], 2, axis=1)],
+                                axis=1)
         else:
-            x = _nearest_resize(x, (1, 2 * h, 2 * w))
-    else:
+            x = jnp.repeat(x, 2, axis=1)
+        t = x.shape[1]
+
+    kw = p["conv_w"]
+    if kw.shape[:3] != (1, 3, 3):  # generic fallback (not hit by this VAE)
         x = _nearest_resize(x, (t, 2 * h, 2 * w))
-    return _conv3d(
-        x, p["conv_w"], p["conv_b"], stride=(1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1)),
+        return _conv3d(x, kw, p["conv_b"], stride=(1, 1, 1),
+                       padding=((0, 0), (1, 1), (1, 1)))
+
+    w4 = _fold_upsample_kernel(kw)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w4.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (2, 2), (2, 2)),
+        lhs_dilation=(1, 2, 2),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
+    if p["conv_b"] is not None:
+        out = out + p["conv_b"].astype(x.dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------

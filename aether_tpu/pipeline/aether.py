@@ -109,6 +109,28 @@ def _decode_chunk(config, dtype, vae_params, latents_cl, cache):
     return decode_frames(vae_params, config.vae, latents_cl.astype(dtype), cache)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "dtype"))
+def _encode_full(config, dtype, vae_params, video):
+    """Whole-clip moment encode; conv-cache outputs dropped inside the jit so
+    XLA dead-code-eliminates the cache slices (they otherwise pin every conv
+    input buffer until the end of the graph)."""
+    from aether_tpu.models.vae import encode_moments
+
+    mean, logvar, _ = encode_moments(vae_params, config.vae,
+                                     video.astype(dtype), None)
+    return mean, logvar
+
+
+@functools.partial(jax.jit, static_argnames=("config", "dtype"))
+def _decode_full(config, dtype, vae_params, latents_cl):
+    """Whole-clip decode in one graph: no conv-cache outputs, so XLA frees
+    stage activations as it goes (the cache slices otherwise extend every
+    conv input's lifetime) — ~20% faster than 2-frame chunking per tile."""
+    from aether_tpu.models.vae import vae_decode
+
+    return vae_decode(vae_params, config.vae, latents_cl.astype(dtype))
+
+
 def _u8_to_unit(pixels_u8, dtype) -> jnp.ndarray:
     """uint8 wire pixels -> [-1, 1] on device (4x fewer H2D bytes)."""
     return jnp.asarray(pixels_u8).astype(dtype) / 127.5 - 1.0
@@ -119,13 +141,17 @@ def _encode_moments_chunked(
     dtype,
     vae_params: Dict[str, Any],
     video: jnp.ndarray,  # (1, F, H, W, 3) in [-1, 1]
-    frame_batch_size: int = 4,
+    frame_batch_size: Optional[int] = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Temporally-chunked moment encode with conv-cache threading.
 
     Returns channels-last (1, F_lat, h, w, C) mean and logvar; 2 compiled
     chunk shapes. Mirrors the reference's framewise encode with slicing.
+    ``frame_batch_size=None`` encodes the whole clip in one graph (fastest
+    when the workspace fits; no conv-cache outputs pinning buffers).
     """
+    if frame_batch_size is None:
+        return _encode_full(config, dtype, vae_params, video)
     t = video.shape[1]
     n_chunks = max(t // frame_batch_size, 1)
     remaining = t % frame_batch_size if t > frame_batch_size else 0
@@ -168,7 +194,7 @@ def _encode_pixels(
     vae_params: Dict[str, Any],
     frames: jnp.ndarray,  # (F, H, W, 3) in [-1, 1]
     key: Optional[jax.Array],
-    frame_batch_size: int = 4,
+    frame_batch_size: Optional[int] = 4,
 ) -> jnp.ndarray:
     """Chunked VAE encode -> scaled condition latents (1, F_lat, C, h, w)."""
     mean, logvar = _encode_moments_chunked(
@@ -183,8 +209,8 @@ def _encode_pixels_tiled(
     vae_params: Dict[str, Any],
     frames: jnp.ndarray,  # (F, H, W, 3) in [-1, 1]
     key: Optional[jax.Array],
-    frame_batch_size: int = 4,
-    tile_latent: Tuple[int, int] = (32, 48),
+    frame_batch_size: Optional[int] = None,
+    tile_latent: Tuple[int, int] = (32, 90),
     min_overlap: Tuple[int, int] = (4, 6),
 ) -> jnp.ndarray:
     """Spatially-tiled encode: per-tile moment encode, latent-space feathered
@@ -275,15 +301,18 @@ def _decode_pixels_tiled(
     dtype,
     vae_params: Dict[str, Any],
     latents_16: jnp.ndarray,  # (1, F_lat, C, h, w) scaled
-    frame_batch_size: int = 2,
-    tile_latent: Tuple[int, int] = (32, 48),
+    frame_batch_size: Optional[int] = None,
+    tile_latent: Tuple[int, int] = (32, 90),
     min_overlap: Tuple[int, int] = (4, 6),
 ) -> jnp.ndarray:
-    """Spatially-tiled chunked decode for memory-constrained chips.
+    """Spatially-tiled decode for memory-constrained chips.
 
     The reference enables diffusers VAE tiling for the same reason
     (``scripts/demo.py:229-230``). Tiles are uniform-shape (single compiled
     decode graph), seams feather-blended in pixel space with linear ramps.
+    Defaults: full-width strips (1.07x redundancy vs 1.14x for 2x2 tiles)
+    decoded whole-clip (no temporal chunking; measured 3.97 -> 3.06 s for the
+    41f x 480p window on v5e).
     """
     s = config.vae_scale_factor_spatial
     h_lat, w_lat = latents_16.shape[-2:]
@@ -327,15 +356,19 @@ def _decode_pixels(
     dtype,
     vae_params: Dict[str, Any],
     latents_16: jnp.ndarray,  # (1, F_lat, C, h, w) scaled
-    frame_batch_size: int = 2,
+    frame_batch_size: Optional[int] = 2,
 ) -> jnp.ndarray:
     """Chunked VAE decode -> (1, F, H, W, 3) in the compute dtype.
 
-    Output stays in ``dtype`` (bf16 on TPU) so downstream tile feathering
-    churns half the bytes; callers convert at the very end.
+    ``frame_batch_size=None`` decodes the whole clip in one graph (fastest
+    when the workspace fits). Output stays in ``dtype`` (bf16 on TPU) so
+    downstream tile feathering churns half the bytes; callers convert at the
+    very end.
     """
     z = latents_16.astype(jnp.float32) / config.vae.scaling_factor
     z = jnp.moveaxis(z, 2, -1)  # channels-last
+    if frame_batch_size is None:
+        return _decode_full(config, dtype, vae_params, z)
     t = z.shape[1]
     n_chunks = max(t // frame_batch_size, 1)
     remaining = t % frame_batch_size if t > frame_batch_size else 0

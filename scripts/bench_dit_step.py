@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Ablation bench of one DiT forward at the AetherV1 window shape.
+
+Times the 42-layer forward with (a) flash attention, (b) attention replaced by
+identity (isolates linears+elementwise), and reports where the denoise step's
+time goes. fp8 weight layout (the deployment config).
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timeit(fn, args, n=3):
+    fence = jax.jit(lambda x: jnp.mean(x.astype(jnp.float32)))
+    out = fn(*args)
+    float(fence(out))
+    t0 = time.perf_counter()
+    float(fence(out))
+    fence_ms = (time.perf_counter() - t0) * 1e3
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(fence(fn(*args)))
+        ts.append((time.perf_counter() - t0) * 1e3 - fence_ms)
+    return float(np.median(ts))
+
+
+def main():
+    from aether_tpu.config import DiTConfig
+    from aether_tpu.models.dit import dit_forward, init_quantized_dit_params
+    from aether_tpu.models.rope import prepare_rotary_positional_embeddings
+    from aether_tpu.utils.profiling import warm_transfer_channel
+
+    warm_transfer_channel()
+    cfg = DiTConfig.aetherv1()
+    height, width, num_frames = 480, 720, 41
+    f_lat = (num_frames - 1) // 4 + 1
+
+    params = init_quantized_dit_params(jax.random.PRNGKey(0), cfg)
+    hidden = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, f_lat, cfg.in_channels, height // 8, width // 8), jnp.bfloat16)
+    text = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (1, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.bfloat16)
+    timestep = jnp.array([999], jnp.int32)
+    cos, sin = prepare_rotary_positional_embeddings(cfg, height, width, f_lat,
+                                                    fps=12)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    args = (params, hidden, text, timestep, cos, sin)
+
+    for impl in ["flash", "identity", "norope"]:
+        if impl == "identity":
+            # monkey-patch attention to identity: isolates linears+elementwise
+            import aether_tpu.models.dit as dit_mod
+            orig = dit_mod.flash_attention
+            dit_mod.flash_attention = lambda q, k, v, **kw: v
+            fn = jax.jit(functools.partial(
+                dit_forward, cfg=cfg, attn_impl="flash"),
+                static_argnames=())
+            try:
+                ms = timeit(lambda p, h, t, ts, c, s: fn(
+                    p, hidden_states=h, encoder_hidden_states=t, timestep=ts,
+                    rope_cos=c, rope_sin=s), args)
+            finally:
+                dit_mod.flash_attention = orig
+        elif impl == "norope":
+            fn = jax.jit(functools.partial(
+                dit_forward, cfg=cfg, attn_impl="flash"))
+            ms = timeit(lambda p, h, t, ts, c, s: fn(
+                p, hidden_states=h, encoder_hidden_states=t, timestep=ts,
+                rope_cos=None, rope_sin=None), args)
+        else:
+            fn = jax.jit(functools.partial(
+                dit_forward, cfg=cfg, attn_impl=impl))
+            ms = timeit(lambda p, h, t, ts, c, s: fn(
+                p, hidden_states=h, encoder_hidden_states=t, timestep=ts,
+                rope_cos=c, rope_sin=s), args)
+        print(f"dit_forward[{impl}]: {ms:.0f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

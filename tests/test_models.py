@@ -283,3 +283,33 @@ def test_rope_golden_angles_and_fps_factor():
                                atol=1e-6)
     np.testing.assert_allclose(rotated[0, 0, tok, 1], math.sin(grid_t1),
                                atol=1e-6)
+
+
+def test_subpixel_upsampler_equals_nearest_plus_conv():
+    """The folded 2x2 parity-kernel upsample (4/9 FLOPs) must exactly equal
+    nearest-2x upsample + per-frame 3x3 conv (diffusers CogVideoXUpsample3D
+    semantics), including the temporal first-frame split."""
+    from aether_tpu.models.vae import _conv3d, _nearest_resize, _upsample3d
+
+    key = jax.random.PRNGKey(0)
+    with jax.default_matmul_precision("float32"):
+        for t, compress in [(5, True), (4, True), (1, True), (5, False)]:
+            x = jax.random.normal(key, (2, t, 6, 7, 8))
+            w = jax.random.normal(jax.random.fold_in(key, 1),
+                                  (1, 3, 3, 8, 9)) * 0.3
+            b = jax.random.normal(jax.random.fold_in(key, 2), (9,)) * 0.1
+            new = _upsample3d(x, {"conv_w": w, "conv_b": b}, compress)
+
+            tt, h, wd = x.shape[1], x.shape[2], x.shape[3]
+            if compress and tt > 1 and tt % 2 == 1:
+                xi = jnp.concatenate(
+                    [_nearest_resize(x[:, :1], (1, 2 * h, 2 * wd)),
+                     _nearest_resize(x[:, 1:], (2 * (tt - 1), 2 * h, 2 * wd))],
+                    axis=1)
+            elif compress and tt > 1:
+                xi = _nearest_resize(x, (2 * tt, 2 * h, 2 * wd))
+            else:
+                xi = _nearest_resize(x, (tt, 2 * h, 2 * wd))
+            old = _conv3d(xi, w, b, (1, 1, 1), ((0, 0), (1, 1), (1, 1)))
+            np.testing.assert_allclose(np.asarray(new), np.asarray(old),
+                                       atol=2e-5)
