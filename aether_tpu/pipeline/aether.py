@@ -136,6 +136,46 @@ def _u8_to_unit(pixels_u8, dtype) -> jnp.ndarray:
     return jnp.asarray(pixels_u8).astype(dtype) / 127.5 - 1.0
 
 
+def _rgb_to_yuv420_wire(rgb01: jnp.ndarray):
+    """[..., H, W, 3] in [0, 1] -> (Y u8 [..., H, W], Cb/Cr u8 [..., H/2, W/2]).
+
+    Device-side pack for the D2H wire: full-range BT.601 with 2x2-averaged
+    chroma — 1.5 bytes/px instead of 3 (and 12 of the f32 path). The demo's
+    video container (mp4/x264, like the reference's) is yuv420p anyway, so the
+    wire matches the artifact's native representation. H, W must be even
+    (pipeline inputs are divisible by 8).
+    """
+    rf = rgb01[..., 0].astype(jnp.float32)
+    gf = rgb01[..., 1].astype(jnp.float32)
+    bf = rgb01[..., 2].astype(jnp.float32)
+    y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+    cb = (bf - y) * 0.564 + 0.5
+    cr = (rf - y) * 0.713 + 0.5
+
+    def sub(c):
+        h, w = c.shape[-2], c.shape[-1]
+        c = c.reshape(*c.shape[:-2], h // 2, 2, w // 2, 2)
+        return c.mean(axis=(-3, -1))
+
+    def to_u8(v):
+        return jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    return to_u8(y), to_u8(sub(cb)), to_u8(sub(cr))
+
+
+def _yuv420_wire_to_rgb(y_u8, cb_u8, cr_u8) -> np.ndarray:
+    """Host-side inverse of ``_rgb_to_yuv420_wire`` -> f32 RGB in [0, 1]."""
+    y = np.asarray(y_u8).astype(np.float32) / 255.0
+    cb = np.asarray(cb_u8).astype(np.float32) / 255.0 - 0.5
+    cr = np.asarray(cr_u8).astype(np.float32) / 255.0 - 0.5
+    cb = cb.repeat(2, axis=-2).repeat(2, axis=-1)
+    cr = cr.repeat(2, axis=-2).repeat(2, axis=-1)
+    r = y + cr / 0.713
+    b = y + cb / 0.564
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
 def _encode_moments_chunked(
     config: PipelineConfig,
     dtype,
@@ -475,6 +515,7 @@ class AetherPipeline:
         compute_dtype=jnp.bfloat16,
         vae_tiling: Optional[bool] = None,
         compact_transfer: Optional[bool] = None,
+        wire_rgb: Optional[str] = None,
         mesh=None,
     ):
         """``mesh``: an optional ('dp', 'tp') ``jax.sharding.Mesh``. DiT params
@@ -499,10 +540,16 @@ class AetherPipeline:
         # None = auto: tile the VAE decode when frames exceed one tile
         # (the reference always enables diffusers tiling, demo.py:229-230)
         self.vae_tiling = vae_tiling
-        # compact the device->host wire format (rgb uint8, disparity fp16):
-        # remote/tunneled TPUs are D2H-bandwidth-bound, and rgb is quantized
-        # to uint8 at export anyway. None = auto-on for non-CPU backends.
+        # compact the device->host wire format (rgb uint8/yuv420, disparity
+        # fp16): remote/tunneled TPUs are D2H-bandwidth-bound, and rgb is
+        # quantized at export anyway. None = auto-on for non-CPU backends.
         self.compact_transfer = compact_transfer
+        # rgb wire when compact: "yuv420" (1.5 B/px, matches the mp4/x264
+        # artifact's native pixel format) or "u8" (3 B/px, exact uint8).
+        # None = auto: yuv420 when H and W are even.
+        if wire_rgb not in (None, "u8", "yuv420"):
+            raise ValueError(f"wire_rgb must be 'u8' or 'yuv420', got {wire_rgb}")
+        self.wire_rgb = wire_rgb
         self.empty_prompt_embeds = jnp.asarray(empty_prompt_embeds, compute_dtype)
         if self.empty_prompt_embeds.ndim == 2:
             self.empty_prompt_embeds = self.empty_prompt_embeds[None]
@@ -689,13 +736,23 @@ class AetherPipeline:
                 pass
             return arr
 
+        wire = self.wire_rgb or "yuv420"
+        if height % 2 or width % 2:
+            wire = "u8"
+
         rgb = decode(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
         rgb = jnp.clip(rgb * 0.5 + 0.5, 0.0, 1.0)
-        if compact:
-            rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
-        # start the big rgb pull NOW so it rides the link while the disparity
-        # decode computes (D2H here is slow enough to hide an entire decode)
-        rgb = _start_pull(rgb[0])
+        rgb_wire = None
+        if compact and wire == "yuv420":
+            # 1.5 B/px on the wire; reassembled on host below
+            rgb_wire = tuple(_start_pull(p[0])
+                             for p in _rgb_to_yuv420_wire(rgb))
+        else:
+            if compact:
+                rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
+            # start the big rgb pull NOW so it rides the link while the
+            # disparity decode computes (D2H is slow enough to hide a decode)
+            rgb = _start_pull(rgb[0])
 
         disparity = decode(
             cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
@@ -712,9 +769,12 @@ class AetherPipeline:
                 latents[:, :, 2 * lat_c :].astype(jnp.float32), num_frames
             )[0]
         )
-        rgb = np.asarray(rgb)
-        if compact:
-            rgb = rgb.astype(np.float32) / 255.0
+        if rgb_wire is not None:
+            rgb = _yuv420_wire_to_rgb(*rgb_wire)
+        else:
+            rgb = np.asarray(rgb)
+            if compact:
+                rgb = rgb.astype(np.float32) / 255.0
         return AetherPipelineOutput(
             rgb=rgb.astype(np.float32, copy=False),
             disparity=np.asarray(disparity).astype(np.float32),
@@ -813,13 +873,18 @@ class AetherPipeline:
         if compact is None:
             compact = jax.default_backend() != "cpu"
 
+        wire = self.wire_rgb or "yuv420"
         rgb = decode(cfg, dtype, self.vae_params, latents[:, :, :lat_c])
         rgb = jnp.clip(rgb.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
-        if compact:
-            rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
-        rgb = np.asarray(rgb)
-        if compact:
-            rgb = rgb.astype(np.float32) / 255.0
+        if compact and wire == "yuv420" and rgb.shape[2] % 2 == 0 \
+                and rgb.shape[3] % 2 == 0:
+            rgb = _yuv420_wire_to_rgb(*_rgb_to_yuv420_wire(rgb))
+        else:
+            if compact:
+                rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
+            rgb = np.asarray(rgb)
+            if compact:
+                rgb = rgb.astype(np.float32) / 255.0
         disparity = decode(
             cfg, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
         )

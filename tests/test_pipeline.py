@@ -251,3 +251,57 @@ def test_explicit_falsy_overrides_honored(tiny_pipeline):
         tiny_pipeline(task="prediction", image=image, height=64, width=96,
                       num_frames=17, num_inference_steps=1, seed=0)
         assert spy.call_count == 1  # None -> task default (dynamic on)
+
+
+def test_yuv420_wire_roundtrip():
+    """Device pack -> host unpack must be near-lossless for smooth content and
+    exactly invertible for gray (chroma-free) images."""
+    from aether_tpu.pipeline.aether import (_rgb_to_yuv420_wire,
+                                            _yuv420_wire_to_rgb)
+
+    rng = np.random.default_rng(0)
+    # smooth low-frequency content (what chroma subsampling is built for)
+    base = rng.uniform(0.2, 0.8, size=(2, 4, 4, 3)).astype(np.float32)
+    rgb = np.repeat(np.repeat(base, 8, axis=1), 8, axis=2)  # (2, 32, 32, 3)
+    y, cb, cr = _rgb_to_yuv420_wire(jnp.asarray(rgb))
+    assert y.dtype == jnp.uint8 and cb.shape == (2, 16, 16)
+    back = _yuv420_wire_to_rgb(y, cb, cr)
+    assert np.max(np.abs(back - rgb)) < 0.02
+
+    gray = np.repeat(rng.uniform(0, 1, size=(1, 8, 8, 1)), 3, -1).astype(np.float32)
+    back = _yuv420_wire_to_rgb(*_rgb_to_yuv420_wire(jnp.asarray(gray)))
+    assert np.max(np.abs(back - gray)) < 0.01  # u8 quantization only
+
+    # wire byte budget: 1.5 B/px
+    nbytes = y.size + cb.size + cr.size
+    assert nbytes == rgb.shape[0] * rgb.shape[1] * rgb.shape[2] * 3 // 2
+
+
+def test_compact_yuv_wire_pipeline_close_to_exact(tiny_pipeline, rng):
+    """The yuv420 wire must only perturb rgb at quantization scale (and leave
+    disparity/raymap untouched bit-for-bit vs the fp16/f32 wire)."""
+    cfg = tiny_pipeline.config
+    video = (rng.uniform(0, 1, size=(F, H, W, 3)) * 255).astype(np.uint8)
+    kwargs = dict(task="reconstruction", video=video, height=H, width=W,
+                  num_frames=F, num_inference_steps=1, fps=12, seed=7)
+    exact = tiny_pipeline(**kwargs)
+
+    pipe_yuv = AetherPipeline(
+        cfg, tiny_pipeline.dit_params, tiny_pipeline.vae_params,
+        np.asarray(tiny_pipeline.empty_prompt_embeds[0]),
+        attn_impl="xla", compute_dtype=jnp.float32,
+        compact_transfer=True, wire_rgb="yuv420",
+    )
+    got = pipe_yuv(**kwargs)
+    # luma is carried per-pixel: u8-quantization accurate except where gamut
+    # clipping bites (out-of-gamut chroma/luma recombinations)
+    luma = lambda x: x @ np.array([0.299, 0.587, 0.114], np.float32)  # noqa
+    lerr = np.abs(luma(got.rgb) - luma(exact.rgb))
+    assert np.quantile(lerr, 0.99) < 0.01 and lerr.max() < 0.08
+    # chroma is 2x2-subsampled: block means must survive the wire
+    blk = lambda x: x.reshape(F, H // 2, 2, W // 2, 2, 3).mean((2, 4))  # noqa
+    berr = np.abs(blk(got.rgb) - blk(exact.rgb))
+    assert np.quantile(berr, 0.99) < 0.03 and berr.max() < 0.1
+    assert np.mean(np.abs(got.rgb - exact.rgb)) < 0.05
+    np.testing.assert_allclose(got.raymap, exact.raymap, atol=1e-5)
+    np.testing.assert_allclose(got.disparity, exact.disparity, atol=1e-3)
