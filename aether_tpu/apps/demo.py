@@ -88,6 +88,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--align_pointmaps", action="store_true", default=False)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="If set, write a jax.profiler trace here.")
+    p.add_argument("--wire_rgb", type=str, default=None,
+                   choices=["u8", "yuv420"],
+                   help="compact D2H rgb wire format (default: auto)")
+    p.add_argument("--wire_input", type=str, default="u8",
+                   choices=["u8", "yuv420"],
+                   help="H2D pixel wire; yuv420 is 2x smaller and lossless "
+                        "up to a resample roundtrip for mp4-decoded input")
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh axis (requires multiple devices).")
     p.add_argument("--tp", type=int, default=None,
@@ -136,7 +143,9 @@ def build_pipeline(args: argparse.Namespace):
             (1, cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim), np.float32
         )
         return AetherPipeline(cfg, dit_params, vae_params, text,
-                              compute_dtype=dtype, mesh=mesh), cfg
+                              compute_dtype=dtype, mesh=mesh,
+                              wire_rgb=getattr(args, "wire_rgb", None),
+                              wire_input=getattr(args, "wire_input", "u8")), cfg
 
     if args.checkpoint is None:
         raise SystemExit(
@@ -150,7 +159,9 @@ def build_pipeline(args: argparse.Namespace):
     vae_params = load_checkpoint(os.path.join(args.checkpoint, "vae"))
     text = np.load(os.path.join(args.checkpoint, "text_embeds.npy"))
     return AetherPipeline(cfg, dit_params, vae_params, text,
-                          compute_dtype=dtype, mesh=mesh), cfg
+                          compute_dtype=dtype, mesh=mesh,
+                          wire_rgb=getattr(args, "wire_rgb", None),
+                          wire_input=getattr(args, "wire_input", "u8")), cfg
 
 
 def _load_video(path: str) -> np.ndarray:

@@ -176,6 +176,54 @@ def _yuv420_wire_to_rgb(y_u8, cb_u8, cr_u8) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
 
 
+def _rgb_u8_to_yuv420_host(pixels_u8: np.ndarray):
+    """Host-side pack for the H2D wire: (..., H, W, 3) u8 -> (Y, Cb, Cr) u8.
+
+    Same full-range BT.601 + 2x2-mean chroma as the D2H wire
+    (:func:`_rgb_to_yuv420_wire`), computed in numpy before upload: 1.5 B/px
+    instead of 3 on the H2D link. Lossless for content that was decoded from a
+    yuv420p video (i.e. every mp4 input) up to a resample roundtrip.
+    """
+    rgb = np.asarray(pixels_u8).astype(np.float32) / 255.0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = (b - y) * 0.564 + 0.5
+    cr = (r - y) * 0.713 + 0.5
+
+    def sub(c):
+        h, w = c.shape[-2], c.shape[-1]
+        c = c.reshape(*c.shape[:-2], h // 2, 2, w // 2, 2)
+        return c.mean(axis=(-3, -1))
+
+    def to_u8(v):
+        return np.round(np.clip(v, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+    return to_u8(y), to_u8(sub(cb)), to_u8(sub(cr))
+
+
+def _yuv420_to_unit(y_u8, cb_u8, cr_u8, dtype) -> jnp.ndarray:
+    """Device-side unpack of the H2D yuv420 wire -> [-1, 1] RGB (..., H, W, 3).
+
+    Chroma is upsampled nearest (broadcast+reshape, gather-free on TPU).
+    """
+    y = jnp.asarray(y_u8).astype(jnp.float32) / 255.0
+    cb = jnp.asarray(cb_u8).astype(jnp.float32) / 255.0 - 0.5
+    cr = jnp.asarray(cr_u8).astype(jnp.float32) / 255.0 - 0.5
+
+    def up(c):
+        *lead, h2, w2 = c.shape
+        c = jnp.broadcast_to(c[..., :, None, :, None],
+                             (*lead, h2, 2, w2, 2))
+        return c.reshape(*lead, h2 * 2, w2 * 2)
+
+    cb, cr = up(cb), up(cr)
+    r = y + cr / 0.713
+    b = y + cb / 0.564
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    rgb01 = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+    return (rgb01 * 2.0 - 1.0).astype(dtype)
+
+
 def _encode_moments_chunked(
     config: PipelineConfig,
     dtype,
@@ -516,6 +564,8 @@ class AetherPipeline:
         vae_tiling: Optional[bool] = None,
         compact_transfer: Optional[bool] = None,
         wire_rgb: Optional[str] = None,
+        wire_input: str = "u8",
+        wire_disparity: str = "fp16",
         mesh=None,
     ):
         """``mesh``: an optional ('dp', 'tp') ``jax.sharding.Mesh``. DiT params
@@ -550,6 +600,23 @@ class AetherPipeline:
         if wire_rgb not in (None, "u8", "yuv420"):
             raise ValueError(f"wire_rgb must be 'u8' or 'yuv420', got {wire_rgb}")
         self.wire_rgb = wire_rgb
+        # H2D wire for pixel inputs: "u8" (exact, default) or "yuv420"
+        # (1.5 B/px; lossless up to a resample roundtrip for video that was
+        # decoded from yuv420p — i.e. every mp4 — and falls back to u8 for
+        # odd frame sizes). Unlike wire_rgb this perturbs the model INPUT, so
+        # it is opt-in.
+        if wire_input not in ("u8", "yuv420"):
+            raise ValueError(f"wire_input must be 'u8' or 'yuv420', got {wire_input}")
+        self.wire_input = wire_input
+        # disparity D2H wire when compact: "fp16" (default) or "u8", which
+        # quantizes the PRE-square (sqrt-disparity) value to 8 bits and
+        # squares on host — halves the pull; clips sqrt-disparity at 1.0,
+        # which is harmless downstream (depth conversion clips disparity to
+        # [1e-3, 1], reference postprocess_utils.py:301).
+        if wire_disparity not in ("fp16", "u8"):
+            raise ValueError(
+                f"wire_disparity must be 'fp16' or 'u8', got {wire_disparity}")
+        self.wire_disparity = wire_disparity
         self.empty_prompt_embeds = jnp.asarray(empty_prompt_embeds, compute_dtype)
         if self.empty_prompt_embeds.ndim == 2:
             self.empty_prompt_embeds = self.empty_prompt_embeds[None]
@@ -686,19 +753,26 @@ class AetherPipeline:
             tiling = h_lat > 32 or w_lat > 48
         encode = _encode_pixels_tiled if tiling else _encode_pixels
 
+        wire_in = self.wire_input if height % 2 == 0 and width % 2 == 0 else "u8"
+
+        def upload(px_u8):
+            if wire_in == "yuv420":
+                return _yuv420_to_unit(*_rgb_u8_to_yuv420_host(px_u8), dtype)
+            return _u8_to_unit(px_u8, dtype)
+
         if task == "reconstruction":
             condition = encode(cfgd, dtype, self.vae_params,
-                               _u8_to_unit(pixels, dtype), key_vae)
+                               upload(pixels), key_vae)
         elif task == "prediction":
             img_lat = encode(cfgd, dtype, self.vae_params,
-                             _u8_to_unit(pixels, dtype), key_vae)
+                             upload(pixels), key_vae)
             padding = jnp.zeros((1, f_lat - 1, lat_c, h_lat, w_lat), dtype)
             condition = jnp.concatenate([img_lat, padding], axis=1)
         else:  # planning
             img_lat = encode(cfgd, dtype, self.vae_params,
-                             _u8_to_unit(pixels, dtype), key_vae)
+                             upload(pixels), key_vae)
             goal_lat = encode(cfgd, dtype, self.vae_params,
-                              _u8_to_unit(goal_pixels, dtype), key_goal)
+                              upload(goal_pixels), key_goal)
             padding = jnp.zeros((1, f_lat - 2, lat_c, h_lat, w_lat), dtype)
             condition = jnp.concatenate([img_lat, padding, goal_lat], axis=1)
 
@@ -757,11 +831,17 @@ class AetherPipeline:
         disparity = decode(
             cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
         )
-        disparity = jnp.square(
-            disparity.astype(jnp.float32).mean(axis=-1) * 0.5 + 0.5
-        )
-        if compact:
-            disparity = disparity.astype(jnp.float16)
+        disp_sqrt = disparity.astype(jnp.float32).mean(axis=-1) * 0.5 + 0.5
+        disp_u8 = compact and self.wire_disparity == "u8"
+        if disp_u8:
+            # wire the sqrt-domain value: u8 quantization there is uniform in
+            # sqrt-disparity (finer near 0 after the square on host)
+            disparity = jnp.round(
+                jnp.clip(disp_sqrt, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        else:
+            disparity = jnp.square(disp_sqrt)
+            if compact:
+                disparity = disparity.astype(jnp.float16)
         disparity = _start_pull(disparity[0])
 
         raymap_out = _start_pull(
@@ -775,9 +855,12 @@ class AetherPipeline:
             rgb = np.asarray(rgb)
             if compact:
                 rgb = rgb.astype(np.float32) / 255.0
+        disparity = np.asarray(disparity).astype(np.float32)
+        if disp_u8:
+            disparity = np.square(disparity / 255.0)
         return AetherPipelineOutput(
             rgb=rgb.astype(np.float32, copy=False),
-            disparity=np.asarray(disparity).astype(np.float32),
+            disparity=disparity,
             raymap=np.asarray(raymap_out, dtype=np.float32),
         )
 
@@ -834,7 +917,10 @@ class AetherPipeline:
         if tiling is None:
             tiling = h_lat > 32 or w_lat > 48
 
-        batch = _u8_to_unit(pixels, dtype)
+        if self.wire_input == "yuv420" and height % 2 == 0 and width % 2 == 0:
+            batch = _yuv420_to_unit(*_rgb_u8_to_yuv420_host(pixels), dtype)
+        else:
+            batch = _u8_to_unit(pixels, dtype)
         if self.mesh is not None:
             batch = jax.device_put(
                 batch,

@@ -86,7 +86,11 @@ def main() -> None:
     mark("params ready")
     text = np.zeros((1, cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim),
                     np.float32)
-    pipe = AetherPipeline(cfg, dit_params, vae_params, text, compute_dtype=dtype)
+    # deployment wire formats: yuv420 both ways on the transfer-bound link
+    # (every mp4 input/output is yuv420p anyway; see pipeline/aether.py)
+    pipe = AetherPipeline(cfg, dit_params, vae_params, text, compute_dtype=dtype,
+                          wire_input="yuv420" if on_accel else "u8",
+                          wire_disparity="u8" if on_accel else "fp16")
 
     rng = np.random.default_rng(42)
     video = (rng.uniform(0, 1, size=(num_frames, height, width, 3)) * 255).astype(
@@ -154,6 +158,8 @@ def main() -> None:
         "e2e_runs_s": e2e_times,  # D2H throughput on this link swings 20x
         "backend": backend,
         "weights": weights_format,
+        "wire": (f"in:{pipe.wire_input} rgb:{pipe.wire_rgb or 'yuv420-auto'} "
+                 f"disp:{pipe.wire_disparity}"),
         "config": f"{num_frames}f x {height}x{width}, {steps} steps, "
                   f"{cfg.dit.num_layers}L x {cfg.dit.hidden_size}d",
     }

@@ -139,6 +139,7 @@ def flash_x(q, k, v, block_q=1024, block_k=1024, mode="fold"):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * seq_pad * seq_pad * dim,

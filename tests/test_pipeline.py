@@ -277,6 +277,72 @@ def test_yuv420_wire_roundtrip():
     assert nbytes == rgb.shape[0] * rgb.shape[1] * rgb.shape[2] * 3 // 2
 
 
+def test_yuv420_input_wire():
+    """H2D yuv420 codec: device unpack of the host pack must agree with the
+    exact u8 upload within chroma-subsampling error on smooth content."""
+    from aether_tpu.pipeline.aether import (_rgb_u8_to_yuv420_host,
+                                            _u8_to_unit, _yuv420_to_unit)
+
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 1, size=(2, 4, 6, 3)).astype(np.float32)
+    px = np.round(np.repeat(np.repeat(base, 8, 1), 8, 2) * 255).astype(np.uint8)
+    y, cb, cr = _rgb_u8_to_yuv420_host(px)
+    assert y.shape == (2, 32, 48) and cb.shape == (2, 16, 24)
+    got = np.asarray(_yuv420_to_unit(y, cb, cr, jnp.float32))
+    exact = np.asarray(_u8_to_unit(px, jnp.float32))
+    assert got.shape == exact.shape
+    assert np.mean(np.abs(got - exact)) < 0.01
+    assert np.max(np.abs(got - exact)) < 0.08
+
+    # gray content has no chroma: must be u8-exact
+    gray = np.repeat(rng.integers(0, 256, size=(1, 8, 8, 1), dtype=np.uint8), 3, -1)
+    got = np.asarray(_yuv420_to_unit(*_rgb_u8_to_yuv420_host(gray), jnp.float32))
+    exact = np.asarray(_u8_to_unit(gray, jnp.float32))
+    assert np.max(np.abs(got - exact)) < 2.5 / 255.0
+
+
+def test_wire_input_pipeline_runs(tiny_pipeline, rng):
+    cfg = tiny_pipeline.config
+    pipe = AetherPipeline(
+        cfg, tiny_pipeline.dit_params, tiny_pipeline.vae_params,
+        np.asarray(tiny_pipeline.empty_prompt_embeds[0]),
+        attn_impl="xla", compute_dtype=jnp.float32, wire_input="yuv420",
+    )
+    base = rng.uniform(0, 1, size=(F, H // 8, W // 8, 3))
+    video = (np.repeat(np.repeat(base, 8, 1), 8, 2) * 255).astype(np.uint8)
+    kwargs = dict(task="reconstruction", video=video, height=H, width=W,
+                  num_frames=F, num_inference_steps=1, fps=12, seed=7)
+    got = pipe(**kwargs)
+    exact = tiny_pipeline(**kwargs)
+    assert np.all(np.isfinite(got.rgb))
+    # smooth input: the input perturbation must stay small through the model
+    assert np.mean(np.abs(got.rgb - exact.rgb)) < 0.12
+
+
+def test_u8_disparity_wire(tiny_pipeline, rng):
+    """u8 sqrt-domain disparity wire: quantization-scale error after squaring."""
+    cfg = tiny_pipeline.config
+    video = (rng.uniform(0, 1, size=(F, H, W, 3)) * 255).astype(np.uint8)
+    kwargs = dict(task="reconstruction", video=video, height=H, width=W,
+                  num_frames=F, num_inference_steps=1, fps=12, seed=7)
+    exact = tiny_pipeline(**kwargs)
+    pipe = AetherPipeline(
+        cfg, tiny_pipeline.dit_params, tiny_pipeline.vae_params,
+        np.asarray(tiny_pipeline.empty_prompt_embeds[0]),
+        attn_impl="xla", compute_dtype=jnp.float32,
+        compact_transfer=True, wire_rgb="u8", wire_disparity="u8",
+    )
+    got = pipe(**kwargs)
+    # in-gamut sqrt-disparity: error <= d/du(u^2) * (1/510) ~ 2/255
+    in_gamut = exact.disparity <= 1.0
+    err = np.abs(got.disparity - exact.disparity)
+    assert np.max(err[in_gamut]) < 2.5 / 255.0
+    # out-of-gamut values are clipped to 1.0 by design (downstream depth
+    # conversion clips disparity to [1e-3, 1] anyway)
+    assert np.all(got.disparity <= 1.0 + 1e-6)
+    np.testing.assert_allclose(got.raymap, exact.raymap, atol=1e-5)
+
+
 def test_compact_yuv_wire_pipeline_close_to_exact(tiny_pipeline, rng):
     """The yuv420 wire must only perturb rgb at quantization scale (and leave
     disparity/raymap untouched bit-for-bit vs the fp16/f32 wire)."""

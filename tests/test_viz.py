@@ -140,3 +140,46 @@ def test_save_video_fallback(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+def test_mjpeg_avi_roundtrip(tmp_path):
+    """The AVI muxer must produce a parseable RIFF whose JPEG frames decode
+    back to the input within JPEG tolerance."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    from aether_tpu.viz.video import write_mjpeg_avi
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, size=(4, 4, 6, 3))
+    frames = np.repeat(np.repeat(base, 8, 1), 8, 2).astype(np.uint8)  # smooth
+    path = write_mjpeg_avi(tmp_path / "clip.avi", frames, fps=12)
+    data = open(path, "rb").read()
+
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+
+    # walk top-level chunks, collect the movi frames and the index
+    pos, jpegs, idx_count = 12, [], 0
+    while pos < len(data):
+        fourcc = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        payload = data[pos + 8:pos + 8 + size]
+        if fourcc == b"LIST" and payload[:4] == b"movi":
+            mp = 4
+            while mp < len(payload):
+                csize = struct.unpack("<I", payload[mp + 4:mp + 8])[0]
+                assert payload[mp:mp + 4] == b"00dc"
+                jpegs.append(payload[mp + 8:mp + 8 + csize])
+                mp += 8 + csize + (csize % 2)
+        elif fourcc == b"idx1":
+            idx_count = size // 16
+        pos += 8 + size + (size % 2)
+
+    assert len(jpegs) == frames.shape[0] and idx_count == frames.shape[0]
+    decoded = np.asarray(Image.open(io.BytesIO(jpegs[0])))
+    assert decoded.shape == frames[0].shape
+    assert np.mean(np.abs(decoded.astype(np.float32)
+                          - frames[0].astype(np.float32))) < 12.0
