@@ -129,8 +129,19 @@ def latent_batches(
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
     base_fps: int = 12,
+    native_prefetch: bool = True,
+    prefetch_batches: int = 3,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite shuffled iterator over precomputed latent files."""
+    """Infinite shuffled iterator over precomputed latent files.
+
+    With ``native_prefetch`` (default), file reads + zlib inflation run on the
+    C++ thread pool in :mod:`aether_tpu.runtime`, ``prefetch_batches`` batches
+    ahead of the consumer — the next batch decodes while the device steps.
+    Falls back to synchronous ``np.load`` when the native library cannot be
+    built on this machine.
+    """
+    from collections import deque
+
     from aether_tpu.eval.sharding import shard_sequences
     from aether_tpu.models.rope import prepare_rotary_positional_embeddings
 
@@ -144,43 +155,70 @@ def latent_batches(
             f"in this shard of {latent_dir}"
         )
     rng = np.random.default_rng(seed)
+    # separate stream for epoch permutations: the prefetcher draws the next
+    # epoch's order ahead of the consumer, which must not perturb the
+    # conditioning-mask draws from ``rng``
+    order_rng = np.random.default_rng(np.random.SeedSequence([seed, 1]))
     rope_cache: Dict[tuple, tuple] = {}
 
+    def batch_paths_stream():
+        while True:
+            order = order_rng.permutation(len(files))
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                yield [files[j] for j in order[start : start + batch_size]]
+
+    paths_iter = batch_paths_stream()
+    prefetcher = None
+    if native_prefetch:
+        from aether_tpu import runtime
+
+        if runtime.available():
+            prefetcher = runtime.NpzPrefetcher(n_threads=2)
+    pending: deque = deque()
+
     while True:
-        order = rng.permutation(len(files))
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            items = [np.load(files[j]) for j in order[start : start + batch_size]]
-            clean = np.stack(
-                [it["clean_latents"].astype(np.float32) for it in items]
+        if prefetcher is not None:
+            while len(pending) < max(1, prefetch_batches):
+                batch_paths = next(paths_iter)
+                for p in batch_paths:
+                    prefetcher.submit(p)
+                pending.append(batch_paths)
+            batch_paths = pending.popleft()
+            items = [prefetcher.get() for _ in batch_paths]
+        else:
+            batch_paths = next(paths_iter)
+            items = [np.load(p) for p in batch_paths]
+        clean = np.stack(
+            [it["clean_latents"].astype(np.float32) for it in items]
+        )
+        cond = np.stack(
+            [_conditioning_from_clean(c, rng) for c in clean]
+        )
+        h = int(items[0]["height"])
+        w = int(items[0]["width"])
+        fps = int(items[0]["fps"])
+        f_lat = clean.shape[1]
+        rope_key = (h, w, f_lat, fps)
+        if rope_key not in rope_cache:
+            cos, sin = prepare_rotary_positional_embeddings(
+                dit_cfg, h, w, f_lat, base_fps=base_fps, fps=fps
             )
-            cond = np.stack(
-                [_conditioning_from_clean(c, rng) for c in clean]
+            rope_cache[rope_key] = (np.asarray(cos), np.asarray(sin))
+        cos, sin = rope_cache[rope_key]
+        if text_embeds is not None:
+            text = np.broadcast_to(
+                text_embeds.astype(np.float32),
+                (batch_size, *text_embeds.shape[-2:]),
+            ).copy()
+        else:
+            text = np.zeros(
+                (batch_size, dit_cfg.max_text_seq_length,
+                 dit_cfg.text_embed_dim), np.float32,
             )
-            h = int(items[0]["height"])
-            w = int(items[0]["width"])
-            fps = int(items[0]["fps"])
-            f_lat = clean.shape[1]
-            rope_key = (h, w, f_lat, fps)
-            if rope_key not in rope_cache:
-                cos, sin = prepare_rotary_positional_embeddings(
-                    dit_cfg, h, w, f_lat, base_fps=base_fps, fps=fps
-                )
-                rope_cache[rope_key] = (np.asarray(cos), np.asarray(sin))
-            cos, sin = rope_cache[rope_key]
-            if text_embeds is not None:
-                text = np.broadcast_to(
-                    text_embeds.astype(np.float32),
-                    (batch_size, *text_embeds.shape[-2:]),
-                ).copy()
-            else:
-                text = np.zeros(
-                    (batch_size, dit_cfg.max_text_seq_length,
-                     dit_cfg.text_embed_dim), np.float32,
-                )
-            yield {
-                "clean_latents": clean,
-                "condition_latents": cond,
-                "text_embeds": text,
-                "rope_cos": cos,
-                "rope_sin": sin,
-            }
+        yield {
+            "clean_latents": clean,
+            "condition_latents": cond,
+            "text_embeds": text,
+            "rope_cos": cos,
+            "rope_sin": sin,
+        }
