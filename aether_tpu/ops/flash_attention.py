@@ -11,11 +11,12 @@ Design notes (TPU, measured on v5e at the 48-head 15k-token window):
   (m, l, acc) persists across the kv reduction for one q tile.
 - softmax runs in base 2: sm_scale*log2(e) is folded into q OUTSIDE the kernel
   (one S*d elementwise pass instead of an S^2 multiply per cell).
-- sequence padding is handled WITHOUT any in-kernel masking: padded k/v rows
-  are exact zeros, so each contributes a score of exactly 0 and nothing to the
-  accumulator (zero V rows); the only corruption is pad_count * exp2(-m_final)
-  of extra mass in the softmax denominator, subtracted exactly once at the
-  final store.
+- padded kv positions are masked with a large negative score (one iota+select
+  pass per cell, measured ~1 ms at this shape — a mask-free variant that
+  zero-pads K/V and subtracts the pad mass from the softmax denominator at
+  store time measured the same within noise, but breaks when every real score
+  underflows exp2 while padding pins the running max at 0, so the robust mask
+  stays).
 - blocks 1536x1536 (pads 15076 -> 15360, 1.9%): ~17% faster than 1024x1024 —
   fewer grid cells amortize per-cell overhead. Needs the per-kernel VMEM limit
   raised above the 16 MB default (s/p tiles are 9.4 MB each in f32).
@@ -81,7 +82,12 @@ def _flash_kernel(
         k,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (block_q, block_k), log2-domain scores; padded cols are exactly 0
+    )  # (block_q, block_k), log2-domain scores
+
+    # Mask out padded kv positions (no-op when nothing is padded).
+    if kv_len < num_kv_blocks * block_k:
+        col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_scratch[...]  # (block_q, 128) lane-replicated
     l_prev = l_scratch[...]
@@ -105,23 +111,18 @@ def _flash_kernel(
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
         l_final = l_scratch[...][:, :1]
-        pad = num_kv_blocks * block_k - kv_len
-        if pad:
-            # each zero-padded key contributed exp2(0 - m) to l (and exactly
-            # nothing to acc, since its V row is zero): subtract that mass
-            l_final = l_final - pad * jnp.exp2(-m_scratch[...][:, :1])
         l_inv = jnp.where(l_final <= 0.0, 1.0, 1.0 / l_final)
         o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
 def _pick_block(seq: int, requested: int) -> int:
-    """Largest block <= requested (multiple of 256) that keeps padding waste
-    low; prefers 1536 over 2048-adjacent sizes for the 15360 sweet spot."""
+    """Block size <= requested (multiple of 128) balancing padding waste
+    against per-cell overhead; lands on 1536 for the 15076-token window."""
     if seq <= requested:
-        # single tile: round the whole sequence up to a 256 multiple
-        return max(256, -(-seq // 256) * 256)
-    best, best_cost = 256, float("inf")
-    for cand in range(256, requested + 1, 256):
+        # single tile: round the whole sequence up to a 128 multiple
+        return max(128, -(-seq // 128) * 128)
+    best, best_cost = 128, float("inf")
+    for cand in range(128, requested + 1, 128):
         pad_len = -(-seq // cand) * cand
         # cost = padded work + a per-cell overhead proxy
         cost = pad_len * (1.0 + 24.0 / cand)

@@ -62,3 +62,26 @@ def test_asymmetric_blocks_mask_padded_keys():
     ref = attention_reference(q, k, v)
     out = flash_attention(q, k, v, block_q=256, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_extreme_negative_scores_with_padding():
+    """All real scores deeply negative + kv padding: the kernel must still
+    return the correct (near-uniform) softmax average, not collapse to zero.
+    (Pins the choice of explicit padding masks over zero-pad denominator
+    correction, which underflows here.)"""
+    b, h, s, d = 1, 1, 200, 64  # pads to 256
+    q = jnp.full((b, h, s, d), 5.0, jnp.float32)
+    k = -jnp.full((b, h, s, d), 5.0, jnp.float32)  # scores = -25*64/8 = -200
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h, s, d), jnp.float32)
+    ref = attention_reference(q, k, v)  # uniform average of v
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_block_picker():
+    from aether_tpu.ops.flash_attention import _pick_block
+
+    assert _pick_block(15076, 1536) == 1536   # 15360, 1.9% pad
+    assert _pick_block(256, 128) == 128       # explicit small blocks honored
+    assert _pick_block(100, 1536) == 128      # single-tile round-up
+    assert _pick_block(7202, 1536) % 128 == 0
