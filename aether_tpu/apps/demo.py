@@ -327,6 +327,10 @@ def main(argv=None) -> None:
                             )
                         )
             else:
+                # defer_host pipelining: window i+1's compute is enqueued
+                # before window i's host transfer is paid for, so the D2H
+                # pull rides the link during the next denoise
+                deferred = None
                 for start in window_indices:
                     with stage_timer(f"window@{start}"):
                         out = pipeline(
@@ -338,9 +342,13 @@ def main(argv=None) -> None:
                             num_frames=args.num_frames, fps=args.fps,
                             num_inference_steps=args.num_inference_steps,
                             guidance_scale=1.0, use_dynamic_cfg=False,
-                            seed=args.seed,
+                            seed=args.seed, defer_host=True,
                         )
-                    window_results.append(out)
+                    if deferred is not None:
+                        window_results.append(deferred.resolve())
+                    deferred = out
+                if deferred is not None:
+                    window_results.append(deferred.resolve())
             rgb, disparity, poses, pointmaps = blend_and_merge_window_results(
                 window_results, window_indices, args.height, args.width,
                 smooth_camera=args.smooth_camera,

@@ -54,6 +54,23 @@ class AetherPipelineOutput:
     raymap: np.ndarray  # (F, 6, H/8, W/8)
 
 
+class DeferredOutput:
+    """Pipeline output whose device->host transfer has been *started* but not
+    yet paid for. ``resolve()`` blocks on the in-flight copies and returns the
+    :class:`AetherPipelineOutput`. Lets a sliding-window loop enqueue window
+    i+1's compute while window i's outputs ride the D2H link."""
+
+    def __init__(self, resolve_fn):
+        self._resolve_fn = resolve_fn
+        self._result: Optional[AetherPipelineOutput] = None
+
+    def resolve(self) -> AetherPipelineOutput:
+        if self._result is None:
+            self._result = self._resolve_fn()
+            self._resolve_fn = None
+        return self._result
+
+
 def dynamic_cfg_schedule(
     timesteps: np.ndarray, num_inference_steps: int, guidance_scale: float
 ) -> np.ndarray:
@@ -685,7 +702,8 @@ class AetherPipeline:
         fps: Optional[int] = None,
         seed: Optional[int] = None,
         key: Optional[jax.Array] = None,
-    ) -> AetherPipelineOutput:
+        defer_host: bool = False,
+    ) -> "AetherPipelineOutput | DeferredOutput":
         cfg = self.config
         if task is None:
             task = ("reconstruction" if video is not None
@@ -849,20 +867,28 @@ class AetherPipeline:
                 latents[:, :, 2 * lat_c :].astype(jnp.float32), num_frames
             )[0]
         )
-        if rgb_wire is not None:
-            rgb = _yuv420_wire_to_rgb(*rgb_wire)
-        else:
-            rgb = np.asarray(rgb)
-            if compact:
-                rgb = rgb.astype(np.float32) / 255.0
-        disparity = np.asarray(disparity).astype(np.float32)
-        if disp_u8:
-            disparity = np.square(disparity / 255.0)
-        return AetherPipelineOutput(
-            rgb=rgb.astype(np.float32, copy=False),
-            disparity=disparity,
-            raymap=np.asarray(raymap_out, dtype=np.float32),
-        )
+        def _resolve() -> AetherPipelineOutput:
+            if rgb_wire is not None:
+                rgb_np = _yuv420_wire_to_rgb(*rgb_wire)
+            else:
+                rgb_np = np.asarray(rgb)
+                if compact:
+                    rgb_np = rgb_np.astype(np.float32) / 255.0
+            disp_np = np.asarray(disparity).astype(np.float32)
+            if disp_u8:
+                disp_np = np.square(disp_np / 255.0)
+            return AetherPipelineOutput(
+                rgb=rgb_np.astype(np.float32, copy=False),
+                disparity=disp_np,
+                raymap=np.asarray(raymap_out, dtype=np.float32),
+            )
+
+        if defer_host:
+            # all device work is enqueued and the D2H copies are in flight:
+            # the caller can dispatch the NEXT window's compute before paying
+            # for this window's host transfer (see apps/demo.py window loop)
+            return DeferredOutput(_resolve)
+        return _resolve()
 
     # ------------------------------------------------------------------
     # batched reconstruction: independent windows data-parallel on the mesh

@@ -371,3 +371,20 @@ def test_compact_yuv_wire_pipeline_close_to_exact(tiny_pipeline, rng):
     assert np.mean(np.abs(got.rgb - exact.rgb)) < 0.05
     np.testing.assert_allclose(got.raymap, exact.raymap, atol=1e-5)
     np.testing.assert_allclose(got.disparity, exact.disparity, atol=1e-3)
+
+
+def test_defer_host_identical(tiny_pipeline, rng):
+    """defer_host=True must resolve to bit-identical outputs."""
+    from aether_tpu.pipeline import DeferredOutput
+
+    video = (rng.uniform(0, 1, size=(F, H, W, 3)) * 255).astype(np.uint8)
+    kwargs = dict(task="reconstruction", video=video, height=H, width=W,
+                  num_frames=F, num_inference_steps=1, fps=12, seed=11)
+    eager = tiny_pipeline(**kwargs)
+    deferred = tiny_pipeline(**kwargs, defer_host=True)
+    assert isinstance(deferred, DeferredOutput)
+    out = deferred.resolve()
+    assert deferred.resolve() is out  # idempotent
+    np.testing.assert_array_equal(out.rgb, eager.rgb)
+    np.testing.assert_array_equal(out.disparity, eager.disparity)
+    np.testing.assert_array_equal(out.raymap, eager.raymap)
