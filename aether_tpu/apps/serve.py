@@ -377,6 +377,10 @@ def main(argv=None) -> None:
                    choices=["tiny", "aetherv1"])
     p.add_argument("--raymap_dir", type=str, default=None,
                    help="Directory of canned raymap_<name>.npy actions.")
+    p.add_argument("--wire_rgb", type=str, default=None,
+                   choices=["u8", "yuv420"])
+    p.add_argument("--wire_input", type=str, default="u8",
+                   choices=["u8", "yuv420"])
     args = p.parse_args(argv)
 
     from aether_tpu.apps.demo import build_pipeline

@@ -153,6 +153,7 @@ def _u8_to_unit(pixels_u8, dtype) -> jnp.ndarray:
     return jnp.asarray(pixels_u8).astype(dtype) / 127.5 - 1.0
 
 
+@jax.jit
 def _rgb_to_yuv420_wire(rgb01: jnp.ndarray):
     """[..., H, W, 3] in [0, 1] -> (Y u8 [..., H, W], Cb/Cr u8 [..., H/2, W/2]).
 
@@ -218,10 +219,42 @@ def _rgb_u8_to_yuv420_host(pixels_u8: np.ndarray):
     return to_u8(y), to_u8(sub(cb)), to_u8(sub(cr))
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _finish_rgb(rgb_decoded: jnp.ndarray, mode: str):
+    """Fused decode-output -> wire transform: clip to [0, 1] then pack.
+
+    Returns a tuple of wire arrays: (y, cb, cr) for "yuv420", (u8,) for "u8",
+    (f32,) otherwise. One fused kernel — the eager chain materializes several
+    full-resolution temporaries right after the VAE decode, the peak-memory
+    moment on a 16 GB chip.
+    """
+    rgb01 = jnp.clip(rgb_decoded.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+    if mode == "yuv420":
+        return _rgb_to_yuv420_wire(rgb01)
+    if mode == "u8":
+        return (jnp.round(rgb01 * 255.0).astype(jnp.uint8),)
+    return (rgb01,)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _finish_disparity(disp_decoded: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Fused disparity decode-output -> wire: channel mean, affine, square
+    (or u8 sqrt-domain quantization)."""
+    ds = disp_decoded.astype(jnp.float32).mean(axis=-1) * 0.5 + 0.5
+    if mode == "u8":
+        return jnp.round(jnp.clip(ds, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    d = jnp.square(ds)
+    return d.astype(jnp.float16) if mode == "fp16" else d
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
 def _yuv420_to_unit(y_u8, cb_u8, cr_u8, dtype) -> jnp.ndarray:
     """Device-side unpack of the H2D yuv420 wire -> [-1, 1] RGB (..., H, W, 3).
 
     Chroma is upsampled nearest (broadcast+reshape, gather-free on TPU).
+    Jitted so the whole chain fuses: the eager form materializes ~2 GB of f32
+    intermediates at 41f x 480p, which tips a chip already holding the fp8
+    DiT over the 16 GB cliff.
     """
     y = jnp.asarray(y_u8).astype(jnp.float32) / 255.0
     cb = jnp.asarray(cb_u8).astype(jnp.float32) / 255.0 - 0.5
@@ -833,34 +866,24 @@ class AetherPipeline:
             wire = "u8"
 
         rgb = decode(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
-        rgb = jnp.clip(rgb * 0.5 + 0.5, 0.0, 1.0)
+        rgb_mode = ("yuv420" if compact and wire == "yuv420"
+                    else "u8" if compact else "f32")
+        packed = _finish_rgb(rgb, rgb_mode)
         rgb_wire = None
-        if compact and wire == "yuv420":
+        if rgb_mode == "yuv420":
             # 1.5 B/px on the wire; reassembled on host below
-            rgb_wire = tuple(_start_pull(p[0])
-                             for p in _rgb_to_yuv420_wire(rgb))
+            rgb_wire = tuple(_start_pull(p[0]) for p in packed)
         else:
-            if compact:
-                rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
             # start the big rgb pull NOW so it rides the link while the
             # disparity decode computes (D2H is slow enough to hide a decode)
-            rgb = _start_pull(rgb[0])
+            rgb = _start_pull(packed[0][0])
 
         disparity = decode(
             cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
         )
-        disp_sqrt = disparity.astype(jnp.float32).mean(axis=-1) * 0.5 + 0.5
         disp_u8 = compact and self.wire_disparity == "u8"
-        if disp_u8:
-            # wire the sqrt-domain value: u8 quantization there is uniform in
-            # sqrt-disparity (finer near 0 after the square on host)
-            disparity = jnp.round(
-                jnp.clip(disp_sqrt, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-        else:
-            disparity = jnp.square(disp_sqrt)
-            if compact:
-                disparity = disparity.astype(jnp.float16)
-        disparity = _start_pull(disparity[0])
+        disp_mode = ("u8" if disp_u8 else "fp16" if compact else "f32")
+        disparity = _start_pull(_finish_disparity(disparity, disp_mode)[0])
 
         raymap_out = _start_pull(
             unpack_raymap(
@@ -987,25 +1010,25 @@ class AetherPipeline:
 
         wire = self.wire_rgb or "yuv420"
         rgb = decode(cfg, dtype, self.vae_params, latents[:, :, :lat_c])
-        rgb = jnp.clip(rgb.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
-        if compact and wire == "yuv420" and rgb.shape[2] % 2 == 0 \
-                and rgb.shape[3] % 2 == 0:
-            rgb = _yuv420_wire_to_rgb(*_rgb_to_yuv420_wire(rgb))
+        even = height % 2 == 0 and width % 2 == 0
+        rgb_mode = ("yuv420" if compact and wire == "yuv420" and even
+                    else "u8" if compact else "f32")
+        packed = _finish_rgb(rgb, rgb_mode)
+        if rgb_mode == "yuv420":
+            rgb = _yuv420_wire_to_rgb(*packed)
         else:
-            if compact:
-                rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
-            rgb = np.asarray(rgb)
-            if compact:
+            rgb = np.asarray(packed[0])
+            if rgb_mode == "u8":
                 rgb = rgb.astype(np.float32) / 255.0
         disparity = decode(
             cfg, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
         )
-        disparity = jnp.square(
-            disparity.astype(jnp.float32).mean(axis=-1) * 0.5 + 0.5
-        )
-        if compact:
-            disparity = disparity.astype(jnp.float16)
-        disparity = np.asarray(disparity).astype(np.float32)
+        disp_u8 = compact and self.wire_disparity == "u8"
+        disp_mode = ("u8" if disp_u8 else "fp16" if compact else "f32")
+        disparity = np.asarray(
+            _finish_disparity(disparity, disp_mode)).astype(np.float32)
+        if disp_u8:
+            disparity = np.square(disparity / 255.0)
         raymap = np.asarray(
             unpack_raymap(latents[:, :, 2 * lat_c :].astype(jnp.float32),
                           num_frames)
