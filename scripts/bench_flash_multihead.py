@@ -148,9 +148,9 @@ def main():
     refn = np.asarray(ref[0, :2, -256:].astype(jnp.float32))
     print(f"prod kernel (1536): {ms:7.1f} ms", flush=True)
 
-    for hper, bq, bk in [(2, 1024, 1024), (2, 1536, 1536), (4, 1024, 1024),
-                         (2, 1024, 1536), (4, 512, 1536), (3, 1536, 1536),
-                         (6, 1024, 1024)]:
+    for hper, bq, bk in [(4, 1024, 1024), (8, 1024, 1024), (12, 1024, 1024),
+                         (4, 1280, 1280), (4, 768, 1024), (16, 1024, 1024),
+                         (4, 1024, 1024)]:
         if (48 % hper):
             continue
         fn = functools.partial(flash_mh, block_q=bq, block_k=bk, hper=hper)
