@@ -96,7 +96,7 @@ def convert_dit_state_dict(sd: Mapping[str, Any], cfg: DiTConfig) -> Params:
 
     stacked = jax.tree_util.tree_map(lambda *xs: _stack(xs), *blocks)
 
-    return {
+    out = {
         "patch_embed": {
             "proj_w": proj_w,
             "proj_b": _t(sd["patch_embed.proj.bias"]),
@@ -124,6 +124,15 @@ def convert_dit_state_dict(sd: Mapping[str, Any], cfg: DiTConfig) -> Params:
             "b": _t(sd["proj_out.bias"]),
         },
     }
+    # CogVideoX-1.5 ofs conditioning (present only when the checkpoint has it)
+    if "ofs_embedding.linear_1.weight" in sd:
+        out["ofs_embed"] = {
+            "w1": _t(sd["ofs_embedding.linear_1.weight"]).T,
+            "b1": _t(sd["ofs_embedding.linear_1.bias"]),
+            "w2": _t(sd["ofs_embedding.linear_2.weight"]).T,
+            "b2": _t(sd["ofs_embedding.linear_2.bias"]),
+        }
+    return out
 
 
 def _conv3d_w(sd: Mapping[str, Any], name: str) -> np.ndarray:

@@ -197,7 +197,7 @@ def init_quantized_dit_params(key: jax.Array, cfg: DiTConfig,
 
     ones = lambda shape: jnp.ones(shape, jnp.bfloat16)  # noqa: E731
     zeros = lambda shape: jnp.zeros(shape, jnp.bfloat16)  # noqa: E731
-    patch_in = cfg.in_channels * p * p
+    patch_in = cfg.in_channels * p * p * (cfg.patch_size_t or 1)
     te = cfg.time_embed_dim
 
     blocks = {
@@ -220,7 +220,8 @@ def init_quantized_dit_params(key: jax.Array, cfg: DiTConfig,
                 "w2": qw((L, cfg.mlp_dim, d), cfg.mlp_dim),
                 "b2": bias((L, d), cfg.mlp_dim)},
     }
-    return {
+    out_feat = (cfg.patch_size_t or 1) * p * p * cfg.out_channels
+    tree = {
         "patch_embed": {
             "proj_w": qw((patch_in, d), patch_in),
             "proj_b": bias((d,), patch_in),
@@ -235,9 +236,16 @@ def init_quantized_dit_params(key: jax.Array, cfg: DiTConfig,
         "norm_final": {"scale": ones((d,)), "bias": zeros((d,))},
         "norm_out": {"w": qw((te, 2 * d), te), "b": bias((2 * d,), te),
                      "ln_scale": ones((d,)), "ln_bias": zeros((d,))},
-        "proj_out": {"w": qw((d, p * p * cfg.out_channels), d),
-                     "b": bias((p * p * cfg.out_channels,), d)},
+        "proj_out": {"w": qw((d, out_feat), d), "b": bias((out_feat,), d)},
     }
+    if cfg.ofs_embed_dim is not None:
+        od = cfg.ofs_embed_dim
+        assert od == te, "ofs embedding is added to temb: dims must match"
+        tree["ofs_embed"] = {
+            "w1": qw((od, od), od), "b1": bias((od,), od),
+            "w2": qw((od, od), od), "b2": bias((od,), od),
+        }
+    return tree
 
 
 def apply_rotary_emb(
@@ -281,7 +289,7 @@ def init_dit_params(key: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> Params
     p = cfg.patch_size
     keys = _fold_keys(key)
 
-    patch_in = cfg.in_channels * p * p
+    patch_in = cfg.in_channels * p * p * (cfg.patch_size_t or 1)
     proj_w, proj_b = _dense_init(next(keys), patch_in, d, dtype)
     text_w, text_b = _dense_init(next(keys), cfg.text_embed_dim, d, dtype)
 
@@ -317,10 +325,11 @@ def init_dit_params(key: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> Params
     block_keys = jax.random.split(next(keys), cfg.num_layers)
     blocks = jax.vmap(block_params)(block_keys)
 
-    out_w, out_b = _dense_init(next(keys), d, p * p * cfg.out_channels, dtype)
+    out_feat = (cfg.patch_size_t or 1) * p * p * cfg.out_channels
+    out_w, out_b = _dense_init(next(keys), d, out_feat, dtype)
     ada_w, ada_b = _dense_init(next(keys), cfg.time_embed_dim, 2 * d, dtype)
 
-    return {
+    tree = {
         "patch_embed": {
             "proj_w": proj_w, "proj_b": proj_b, "text_w": text_w, "text_b": text_b,
         },
@@ -333,6 +342,14 @@ def init_dit_params(key: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> Params
         },
         "proj_out": {"w": out_w, "b": out_b},
     }
+    if cfg.ofs_embed_dim is not None:
+        od = cfg.ofs_embed_dim
+        assert od == cfg.time_embed_dim, \
+            "ofs embedding is added to temb: dims must match"
+        o_w1, o_b1 = _dense_init(next(keys), od, od, dtype)
+        o_w2, o_b2 = _dense_init(next(keys), od, od, dtype)
+        tree["ofs_embed"] = {"w1": o_w1, "b1": o_b1, "w2": o_w2, "b2": o_b2}
+    return tree
 
 
 # ---------------------------------------------------------------------------
@@ -403,28 +420,47 @@ def _attention(
 
 
 def _patchify(
-    x: jnp.ndarray, proj_w: jnp.ndarray, proj_b: jnp.ndarray, p: int
+    x: jnp.ndarray, proj_w: jnp.ndarray, proj_b: jnp.ndarray, p: int,
+    pt: Optional[int] = None,
 ) -> jnp.ndarray:
-    """[B, F, C, H, W] -> [B, F*(H/p)*(W/p), D] via reshape + matmul.
+    """[B, F, C, H, W] -> [B, (F/pt)*(H/p)*(W/p), D] via reshape + matmul.
 
-    The token feature layout matches a torch Conv2d(k=p, s=p) with weight
-    [D, C, p, p]: channel-major, then kernel rows, then kernel cols.
+    CogVideoX-1.0 (``pt is None``): per-frame 2D patches; the token feature
+    layout matches a torch Conv2d(k=p, s=p) with weight [D, C, p, p]:
+    channel-major, then kernel rows, then kernel cols. CogVideoX-1.5
+    (``pt`` set, reference pipeline branch at
+    ``aetherv1_pipeline_cogvideox.py:320-332``): ``pt`` frames fold into the
+    patch feature as (c, pt, p, p); F must be divisible by pt (the caller
+    pads the latent clip).
     """
     b, f, c, h, w = x.shape
     hp, wp = h // p, w // p
-    x = x.reshape(b, f, c, hp, p, wp, p)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6)  # (b, f, hp, wp, c, p, p)
-    x = x.reshape(b, f * hp * wp, c * p * p)
+    if pt is None:
+        x = x.reshape(b, f, c, hp, p, wp, p)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6)  # (b, f, hp, wp, c, p, p)
+        x = x.reshape(b, f * hp * wp, c * p * p)
+    else:
+        ft = f // pt
+        x = x.reshape(b, ft, pt, c, hp, p, wp, p)
+        x = x.transpose(0, 1, 4, 6, 3, 2, 5, 7)  # (b, ft, hp, wp, c, pt, p, p)
+        x = x.reshape(b, ft * hp * wp, c * pt * p * p)
     return _linear(x, proj_w, proj_b)
 
 
 def _unpatchify(
-    tokens: jnp.ndarray, f: int, hp: int, wp: int, c_out: int, p: int
+    tokens: jnp.ndarray, f: int, hp: int, wp: int, c_out: int, p: int,
+    pt: Optional[int] = None,
 ) -> jnp.ndarray:
-    """[B, F*hp*wp, p*p*c_out] -> [B, F, c_out, hp*p, wp*p] (channel-major head)."""
+    """Inverse of :func:`_patchify`'s token layout after the output head:
+    [B, T, (pt*)p*p*c_out] -> [B, F, c_out, hp*p, wp*p] (channel-major)."""
     b = tokens.shape[0]
-    x = tokens.reshape(b, f, hp, wp, c_out, p, p)
-    x = x.transpose(0, 1, 4, 2, 5, 3, 6)  # (b, f, c, hp, p, wp, p)
+    if pt is None:
+        x = tokens.reshape(b, f, hp, wp, c_out, p, p)
+        x = x.transpose(0, 1, 4, 2, 5, 3, 6)  # (b, f, c, hp, p, wp, p)
+        return x.reshape(b, f, c_out, hp * p, wp * p)
+    ft = f // pt
+    x = tokens.reshape(b, ft, hp, wp, c_out, pt, p, p)
+    x = x.transpose(0, 1, 5, 4, 2, 6, 3, 7)  # (b, ft, pt, c, hp, p, wp, p)
     return x.reshape(b, f, c_out, hp * p, wp * p)
 
 
@@ -438,6 +474,7 @@ def dit_forward(
     rope_sin: Optional[jnp.ndarray] = None,
     attn_impl: str = "flash",
     remat: bool = False,
+    ofs: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Denoiser forward.
 
@@ -457,6 +494,7 @@ def dit_forward(
     """
     b, f, _, h, w = hidden_states.shape
     p = cfg.patch_size
+    pt = cfg.patch_size_t
     hp, wp = h // p, w // p
     compute_dtype = hidden_states.dtype
 
@@ -468,9 +506,23 @@ def dit_forward(
     temb = _linear(jax.nn.silu(_linear(t_emb, te["w1"], te["b1"]).astype(jnp.float32))
                    .astype(compute_dtype), te["w2"], te["b2"])
 
+    if cfg.ofs_embed_dim is not None:
+        # CogVideoX-1.5 ofs conditioning: a second sinusoid+MLP embedding
+        # added to the timestep embedding (reference reads ofs_embed_dim at
+        # aetherv1_pipeline_cogvideox.py:728 and passes ofs=0 for I2V-style use)
+        if ofs is None:
+            ofs = jnp.zeros((hidden_states.shape[0],), jnp.float32)
+        o_emb = timestep_embedding(
+            ofs, cfg.ofs_embed_dim, cfg.flip_sin_to_cos, cfg.freq_shift
+        ).astype(compute_dtype)
+        oe = params["ofs_embed"]
+        temb = temb + _linear(
+            jax.nn.silu(_linear(o_emb, oe["w1"], oe["b1"]).astype(jnp.float32))
+            .astype(compute_dtype), oe["w2"], oe["b2"])
+
     # 2. patch + text embedding
     pe = params["patch_embed"]
-    video_tokens = _patchify(hidden_states, pe["proj_w"], pe["proj_b"], p)
+    video_tokens = _patchify(hidden_states, pe["proj_w"], pe["proj_b"], p, pt)
     text_tokens = _linear(
         encoder_hidden_states.astype(compute_dtype), pe["text_w"], pe["text_b"]
     )
@@ -536,4 +588,4 @@ def dit_forward(
     )
     x = _linear(x, params["proj_out"]["w"], params["proj_out"]["b"])
 
-    return _unpatchify(x, f, hp, wp, cfg.out_channels, p)
+    return _unpatchify(x, f, hp, wp, cfg.out_channels, p, pt)

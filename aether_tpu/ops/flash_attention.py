@@ -122,18 +122,24 @@ def _flash_kernel(
 
 
 def _pick_block(seq: int, requested: int) -> int:
-    """Block size <= requested (multiple of 128) balancing padding waste
-    against per-cell overhead."""
+    """Block size <= requested (multiple of 128).
+
+    Bigger blocks amortize per-cell overhead (measured: 1024 blocks beat
+    smaller ones at the 15k window), so keep the requested size unless its
+    padding waste is egregious; then fall back to the candidate with the
+    least padding (ties -> larger block).
+    """
     if seq <= requested:
         # single tile: round the whole sequence up to a 128 multiple
         return max(128, -(-seq // 128) * 128)
-    best, best_cost = 128, float("inf")
+    pad = -(-seq // requested) * requested - seq
+    if pad <= 0.15 * seq:
+        return requested
+    best, best_pad = 128, float("inf")
     for cand in range(128, requested + 1, 128):
-        pad_len = -(-seq // cand) * cand
-        # cost = padded work + a per-cell overhead proxy
-        cost = pad_len * (1.0 + 24.0 / cand)
-        if cost <= best_cost:
-            best, best_cost = cand, cost
+        pad = -(-seq // cand) * cand - seq
+        if pad <= best_pad:
+            best, best_pad = cand, pad
     return best
 
 

@@ -254,6 +254,13 @@ def _main_with_process_retry() -> int:
             if line.startswith("{"):
                 print(line)
                 return 0
+        log = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"bench_attempt{attempt + 1}_stderr.log")
+        try:
+            with open(log, "w") as f:
+                f.write(proc.stderr)
+        except OSError:
+            pass
         sys.stderr.write(proc.stderr[-2000:] + "\n")
         print(f"bench attempt {attempt + 1} failed (rc={proc.returncode}); "
               "relaunching with a fresh device client", file=sys.stderr,

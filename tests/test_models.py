@@ -313,3 +313,59 @@ def test_subpixel_upsampler_equals_nearest_plus_conv():
             old = _conv3d(xi, w, b, (1, 1, 1), ((0, 0), (1, 1), (1, 1)))
             np.testing.assert_allclose(np.asarray(new), np.asarray(old),
                                        atol=2e-5)
+
+
+def test_patchify_unpatchify_temporal_inverse():
+    """CogVideoX-1.5 branch: with an identity projection, unpatchify inverts
+    patchify exactly (pins the (c, pt, p, p) feature order)."""
+    from aether_tpu.models.dit import _patchify, _unpatchify
+
+    rng = np.random.default_rng(0)
+    b, f, c, h, w, p, pt = 2, 4, 3, 8, 12, 2, 2
+    x = jnp.asarray(rng.normal(size=(b, f, c, h, w)).astype(np.float32))
+    feat = c * pt * p * p
+    eye = jnp.eye(feat, dtype=jnp.float32)
+    tokens = _patchify(x, eye, None, p, pt)
+    assert tokens.shape == (b, (f // pt) * (h // p) * (w // p), feat)
+    back = _unpatchify(tokens, f, h // p, w // p, c, p, pt)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+    # 1.0 branch unchanged
+    tokens = _patchify(x, jnp.eye(c * p * p, dtype=jnp.float32), None, p, None)
+    back = _unpatchify(tokens, f, h // p, w // p, c, p, None)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_dit_forward_cogvideox15_branch():
+    """patch_size_t + ofs embedding: forward runs, shapes round-trip, and the
+    ofs embedding changes the output (it is actually wired in)."""
+    import dataclasses
+
+    from aether_tpu.config import DiTConfig
+    from aether_tpu.models.dit import dit_forward, init_dit_params
+    from aether_tpu.models.rope import prepare_rotary_positional_embeddings
+
+    cfg = dataclasses.replace(DiTConfig.tiny(), patch_size_t=2)
+    cfg = dataclasses.replace(cfg, ofs_embed_dim=cfg.time_embed_dim)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    assert "ofs_embed" in params
+
+    b, f, h, w = 1, 4, 8, 12
+    hidden = jax.random.normal(
+        jax.random.PRNGKey(1), (b, f, cfg.in_channels, h, w), jnp.float32)
+    text = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (b, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
+    ts = jnp.array([500], jnp.int32)
+    cos, sin = prepare_rotary_positional_embeddings(
+        cfg, h * 8, w * 8, f, vae_scale_factor_spatial=8, fps=12)
+
+    out = dit_forward(params, cfg, hidden, text, ts,
+                      jnp.asarray(cos), jnp.asarray(sin), attn_impl="xla")
+    assert out.shape == (b, f, cfg.out_channels, h, w)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    out_ofs = dit_forward(params, cfg, hidden, text, ts,
+                          jnp.asarray(cos), jnp.asarray(sin), attn_impl="xla",
+                          ofs=jnp.array([2.0], jnp.float32))
+    assert np.max(np.abs(np.asarray(out_ofs) - np.asarray(out))) > 1e-6
