@@ -95,6 +95,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["u8", "yuv420"],
                    help="H2D pixel wire; yuv420 is 2x smaller and lossless "
                         "up to a resample roundtrip for mp4-decoded input")
+    p.add_argument("--wire_disparity", type=str, default="fp16",
+                   choices=["fp16", "u8"],
+                   help="compact D2H disparity wire (u8 = sqrt-domain 8-bit)")
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh axis (requires multiple devices).")
     p.add_argument("--tp", type=int, default=None,
@@ -145,7 +148,9 @@ def build_pipeline(args: argparse.Namespace):
         return AetherPipeline(cfg, dit_params, vae_params, text,
                               compute_dtype=dtype, mesh=mesh,
                               wire_rgb=getattr(args, "wire_rgb", None),
-                              wire_input=getattr(args, "wire_input", "u8")), cfg
+                              wire_input=getattr(args, "wire_input", "u8"),
+                              wire_disparity=getattr(args, "wire_disparity",
+                                                     "fp16")), cfg
 
     if args.checkpoint is None:
         raise SystemExit(
@@ -161,7 +166,9 @@ def build_pipeline(args: argparse.Namespace):
     return AetherPipeline(cfg, dit_params, vae_params, text,
                           compute_dtype=dtype, mesh=mesh,
                           wire_rgb=getattr(args, "wire_rgb", None),
-                          wire_input=getattr(args, "wire_input", "u8")), cfg
+                          wire_input=getattr(args, "wire_input", "u8"),
+                          wire_disparity=getattr(args, "wire_disparity",
+                                                 "fp16")), cfg
 
 
 def _load_video(path: str) -> np.ndarray:

@@ -381,6 +381,8 @@ def main(argv=None) -> None:
                    choices=["u8", "yuv420"])
     p.add_argument("--wire_input", type=str, default="u8",
                    choices=["u8", "yuv420"])
+    p.add_argument("--wire_disparity", type=str, default="fp16",
+                   choices=["fp16", "u8"])
     args = p.parse_args(argv)
 
     from aether_tpu.apps.demo import build_pipeline
