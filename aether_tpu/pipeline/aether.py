@@ -439,7 +439,7 @@ def _decode_pixels_tiled(
     dtype,
     vae_params: Dict[str, Any],
     latents_16: jnp.ndarray,  # (1, F_lat, C, h, w) scaled
-    frame_batch_size: Optional[int] = None,
+    frame_batch_size: Optional[int] = 2,
     tile_latent: Tuple[int, int] = (32, 90),
     min_overlap: Tuple[int, int] = (4, 6),
 ) -> jnp.ndarray:
@@ -448,9 +448,15 @@ def _decode_pixels_tiled(
     The reference enables diffusers VAE tiling for the same reason
     (``scripts/demo.py:229-230``). Tiles are uniform-shape (single compiled
     decode graph), seams feather-blended in pixel space with linear ramps.
-    Defaults: full-width strips (1.07x redundancy vs 1.14x for 2x2 tiles)
-    decoded whole-clip (no temporal chunking; measured 3.97 -> 3.06 s for the
-    41f x 480p window on v5e).
+    Defaults: full-width strips (1.07x redundancy vs 1.14x for 2x2 tiles),
+    temporally chunked at 2 latent frames. Whole-clip strips
+    (frame_batch_size=None) measured ~20% faster (3.97 -> 3.06 s at 41f x
+    480p) but their multi-GB workspace OOMs when the remote runtime's
+    staging reservations grow, and LARGER chunks balloon the program's
+    buffer assignment (the conv-cache outputs pin every stage activation:
+    6-frame chunks assign 26.5 GB). Chunking is bit-exact (tests pin
+    chunk==full); the default trades ~20% for reliability — pass None to
+    chase it.
     """
     s = config.vae_scale_factor_spatial
     h_lat, w_lat = latents_16.shape[-2:]
