@@ -101,12 +101,39 @@ def layer_norm(
     return y.astype(dtype)
 
 
-def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray],
+            a8: bool = False) -> jnp.ndarray:
     if isinstance(w, dict):  # weight-only quantized: {"q": fp8/int8, "s": (out,)}
+        if a8 and w["q"].dtype == jnp.int8:
+            return _linear_w8a8(x, w, b)
         y = jnp.dot(x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32)
         y = y * w["s"].astype(jnp.float32)
     else:
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _linear_w8a8(x: jnp.ndarray, w: dict, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """int8 x int8 matmul on the MXU (v5e: 2x the bf16 peak).
+
+    Activations are quantized dynamically with a per-token (last-axis absmax)
+    scale; weights carry the per-output-column scale from
+    :func:`quantize_dit_params`. int32 accumulation, f32 rescale. Opt-in
+    (``dit_forward(act_quant=True)``): activation quantization perturbs the
+    model output, unlike the weight-only path whose error is baked into the
+    checkpoint conversion.
+    """
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, w["q"],
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * sx * w["s"].astype(jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
@@ -383,6 +410,7 @@ def _attention(
     rope_sin: Optional[jnp.ndarray],
     cfg: DiTConfig,
     attn_impl: str,
+    a8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     text_len = enc.shape[1]
     x = jnp.concatenate([enc, hidden], axis=1)  # text first
@@ -390,12 +418,12 @@ def _attention(
     nh, hd = cfg.num_heads, cfg.head_dim
 
     def qkv(w, bias, norm_scale, norm_bias):
-        y = _linear(x, w, bias).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        y = _linear(x, w, bias, a8).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
         return layer_norm(y, norm_scale, norm_bias, cfg.qk_norm_eps)
 
     q = qkv(attn_p["q_w"], attn_p["q_b"], attn_p["norm_q_scale"], attn_p["norm_q_bias"])
     k = qkv(attn_p["k_w"], attn_p["k_b"], attn_p["norm_k_scale"], attn_p["norm_k_bias"])
-    v = _linear(x, attn_p["v_w"], attn_p["v_b"]).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    v = _linear(x, attn_p["v_w"], attn_p["v_b"], a8).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
     if rope_cos is not None:
         # tables already span the joint stream (identity rotation on the text
@@ -415,7 +443,7 @@ def _attention(
         attn = attention_reference(q, k, v)
 
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
-    out = _linear(attn, attn_p["o_w"], attn_p["o_b"])
+    out = _linear(attn, attn_p["o_w"], attn_p["o_b"], a8)
     return out[:, text_len:], out[:, :text_len]
 
 
@@ -475,6 +503,7 @@ def dit_forward(
     attn_impl: str = "flash",
     remat: bool = False,
     ofs: Optional[jnp.ndarray] = None,
+    act_quant: bool = False,
 ) -> jnp.ndarray:
     """Denoiser forward.
 
@@ -549,7 +578,7 @@ def dit_forward(
             hid, enc, temb, block_p["norm1"], cfg.norm_eps
         )
         attn_h, attn_e = _attention(
-            block_p["attn"], h_n, e_n, rc, rs, cfg, attn_impl
+            block_p["attn"], h_n, e_n, rc, rs, cfg, attn_impl, act_quant
         )
         hid = hid + (gate * attn_h.astype(jnp.float32)).astype(hid.dtype)
         enc = enc + (e_gate * attn_e.astype(jnp.float32)).astype(enc.dtype)
@@ -559,9 +588,9 @@ def dit_forward(
         )
         joint = jnp.concatenate([e_n, h_n], axis=1)
         m = block_p["mlp"]
-        ff = _linear(joint, m["w1"], m["b1"])
+        ff = _linear(joint, m["w1"], m["b1"], act_quant)
         ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=True).astype(ff.dtype)
-        ff = _linear(ff, m["w2"], m["b2"])
+        ff = _linear(ff, m["w2"], m["b2"], act_quant)
         text_len = enc.shape[1]
         hid = hid + (gate * ff[:, text_len:].astype(jnp.float32)).astype(hid.dtype)
         enc = enc + (e_gate * ff[:, :text_len].astype(jnp.float32)).astype(enc.dtype)

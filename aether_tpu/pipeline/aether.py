@@ -530,7 +530,8 @@ def _decode_pixels(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "attn_impl", "compute_dtype", "task", "do_cfg"),
+    static_argnames=("config", "attn_impl", "compute_dtype", "task", "do_cfg",
+                     "act_quant"),
 )
 def _denoise(
     config: PipelineConfig,
@@ -546,6 +547,7 @@ def _denoise(
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
     key: jax.Array,
+    act_quant: bool = False,
 ) -> jnp.ndarray:
     """The jitted denoise loop; returns final (1, F_lat, 56, h, w) latents."""
     cfg = config
@@ -584,7 +586,7 @@ def _denoise(
         t_batch = jnp.broadcast_to(t, (model_in.shape[0],))
         noise_pred = dit_forward(
             dit_params, cfg.dit, model_in, text, t_batch,
-            rope_cos, rope_sin, attn_impl=attn_impl,
+            rope_cos, rope_sin, attn_impl=attn_impl, act_quant=act_quant,
         ).astype(jnp.float32)
         if do_cfg:
             uncond_pred, cond_pred = jnp.split(noise_pred, 2, axis=0)
@@ -622,6 +624,7 @@ class AetherPipeline:
         wire_rgb: Optional[str] = None,
         wire_input: str = "u8",
         wire_disparity: str = "fp16",
+        act_quant: bool = False,
         mesh=None,
     ):
         """``mesh``: an optional ('dp', 'tp') ``jax.sharding.Mesh``. DiT params
@@ -673,6 +676,9 @@ class AetherPipeline:
             raise ValueError(
                 f"wire_disparity must be 'fp16' or 'u8', got {wire_disparity}")
         self.wire_disparity = wire_disparity
+        # opt-in int8 activation quantization for the DiT linears (requires
+        # int8-quantized weights; v5e int8 MXU is 2x the bf16 peak)
+        self.act_quant = act_quant
         self.empty_prompt_embeds = jnp.asarray(empty_prompt_embeds, compute_dtype)
         if self.empty_prompt_embeds.ndim == 2:
             self.empty_prompt_embeds = self.empty_prompt_embeds[None]
@@ -849,6 +855,7 @@ class AetherPipeline:
                 self.dit_params, self.empty_prompt_embeds, condition_latents,
                 plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
                 jnp.asarray(rope_sin), key_denoise,
+                act_quant=self.act_quant,
             )
 
         # ---- stage 3: chunked VAE decode + output transforms ----
@@ -1006,6 +1013,7 @@ class AetherPipeline:
                 self.dit_params, self.empty_prompt_embeds, condition_latents,
                 plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
                 jnp.asarray(rope_sin), key_denoise,
+                act_quant=self.act_quant,
             )
 
         lat_c = cfg.vae.latent_channels

@@ -73,11 +73,16 @@ def main() -> None:
     weights_format = "bf16" if not on_accel else os.environ.get(
         "AETHER_WEIGHT_QUANT", "fp8"
     )
-    mark(f"init dit params ({weights_format})")
-    if weights_format == "fp8":
+    act_quant = os.environ.get("AETHER_ACT_QUANT", "0") == "1" and on_accel
+    if act_quant:
+        weights_format = "int8"  # the int8 MXU path needs int8 weights
+    mark(f"init dit params ({weights_format}, act_quant={act_quant})")
+    if weights_format in ("fp8", "int8"):
         from aether_tpu.models.dit import init_quantized_dit_params
 
-        dit_params = init_quantized_dit_params(key, cfg.dit)
+        dit_params = init_quantized_dit_params(
+            key, cfg.dit,
+            dtype=jnp.int8 if weights_format == "int8" else None)
     else:
         dit_params = init_dit_params(key, cfg.dit, dtype=dtype)
     mark("init vae params")
@@ -90,7 +95,8 @@ def main() -> None:
     # (every mp4 input/output is yuv420p anyway; see pipeline/aether.py)
     pipe = AetherPipeline(cfg, dit_params, vae_params, text, compute_dtype=dtype,
                           wire_input="yuv420" if on_accel else "u8",
-                          wire_disparity="u8" if on_accel else "fp16")
+                          wire_disparity="u8" if on_accel else "fp16",
+                          act_quant=act_quant)
 
     rng = np.random.default_rng(42)
     video = (rng.uniform(0, 1, size=(num_frames, height, width, 3)) * 255).astype(
@@ -157,7 +163,7 @@ def main() -> None:
         "compile_plus_first_run_s": round(compile_and_first_run_s, 1),
         "e2e_runs_s": e2e_times,  # D2H throughput on this link swings 20x
         "backend": backend,
-        "weights": weights_format,
+        "weights": weights_format + ("+a8" if act_quant else ""),
         "wire": (f"in:{pipe.wire_input} rgb:{pipe.wire_rgb or 'yuv420-auto'} "
                  f"disp:{pipe.wire_disparity}"),
         "config": f"{num_frames}f x {height}x{width}, {steps} steps, "
@@ -208,12 +214,12 @@ def _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
 
     latents = _denoise(cfg, pipe.attn_impl, dtype, "reconstruction", False,
                        dit_params, pipe.empty_prompt_embeds, cond_full, plan,
-                       guidance, cos, sin, k)
+                       guidance, cos, sin, k, act_quant=pipe.act_quant)
     _block(latents)
     t0 = time.perf_counter()
     latents = _denoise(cfg, pipe.attn_impl, dtype, "reconstruction", False,
                        dit_params, pipe.empty_prompt_embeds, cond_full, plan,
-                       guidance, cos, sin, k)
+                       guidance, cos, sin, k, act_quant=pipe.act_quant)
     _block(latents)
     denoise_s = time.perf_counter() - t0
 
