@@ -439,6 +439,10 @@ def _attention(
         from aether_tpu.ops.chunked_attention import chunked_attention
 
         attn = chunked_attention(q, k, v)
+    elif attn_impl == "flash_train":
+        from aether_tpu.ops.chunked_attention import flash_attention_trainable
+
+        attn = flash_attention_trainable(q, k, v)
     else:
         attn = attention_reference(q, k, v)
 

@@ -87,3 +87,32 @@ def chunked_attention(
     )
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     return out.astype(q.dtype)
+
+
+@jax.custom_vjp
+def flash_attention_trainable(q, k, v):
+    """Differentiable attention with the Pallas flash kernel on the forward.
+
+    The Pallas kernel has no backward rule; the VJP here is the autodiff of
+    :func:`chunked_attention` (the same exact softmax, so the gradient is the
+    true gradient of the forward up to float error). Forward speed of the
+    tuned kernel, backward memory profile of the blockwise scan.
+    """
+    from aether_tpu.ops.flash_attention import flash_attention
+
+    return flash_attention(q, k, v)
+
+
+def _fat_fwd(q, k, v):
+    from aether_tpu.ops.flash_attention import flash_attention
+
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _fat_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: chunked_attention(a, b, c), q, k, v)
+    return vjp(g)
+
+
+flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)

@@ -310,7 +310,7 @@ def main(argv=None) -> None:
         log_every=max(args.steps // 20, 1),
         # training needs a differentiable memory-efficient attention; the
         # Pallas flash kernel is inference-only (no VJP)
-        attn_impl="chunked" if jax.default_backend() == "tpu" else "xla",
+        attn_impl="flash_train" if jax.default_backend() == "tpu" else "xla",
     )
 
     mesh = None

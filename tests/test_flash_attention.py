@@ -85,3 +85,38 @@ def test_block_picker():
     assert _pick_block(256, 128) == 128       # explicit small blocks honored
     assert _pick_block(100, 1536) == 128      # single-tile round-up
     assert _pick_block(7202, 1536) % 128 == 0
+
+
+def test_flash_train_gradient_matches_reference():
+    """custom_vjp hybrid (pallas fwd / chunked bwd): value and gradient must
+    match the plain attention's autodiff."""
+    from aether_tpu.ops.chunked_attention import flash_attention_trainable
+
+    shape = (1, 2, 192, 32)  # pads inside the kernel
+    key = jax.random.PRNGKey(5)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), shape, jnp.float32)
+               for i in range(3))
+
+    def loss_hybrid(q, k, v):
+        return jnp.sum(jnp.square(flash_attention_trainable(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(attention_reference(q, k, v)))
+
+    # interpret-mode pallas on CPU (sys.modules: the package re-exports a
+    # function with the submodule's name, shadowing attribute imports)
+    import sys
+
+    fa = sys.modules["aether_tpu.ops.flash_attention"]
+    orig = fa.flash_attention
+    fa.flash_attention = lambda *a, **kw: orig(*a, **kw, interpret=True)
+    try:
+        val, grads = jax.value_and_grad(loss_hybrid, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.flash_attention = orig
+    val_ref, grads_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-3)
+    for g, gr in zip(grads, grads_ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                                   atol=5e-3, rtol=1e-2)
