@@ -170,6 +170,11 @@ def flash_attention(
 
     block_q = _pick_block(seq, block_q)
     block_k = _pick_block(seq, block_k)
+    step = math.lcm(block_q, block_k)
+    if -(-seq // step) * step - seq > 0.2 * seq:
+        # asymmetric caller blocks whose lcm balloons padding (e.g. 1536 x
+        # 1152 at 15076 would pad 83%): fall back to symmetric blocks
+        block_k = block_q = min(block_q, block_k)
 
     bh = batch * heads
     hper = max(h for h in range(1, min(heads_per_cell, bh) + 1) if bh % h == 0)

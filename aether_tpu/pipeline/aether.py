@@ -653,9 +653,9 @@ class AetherPipeline:
         # fp16): remote/tunneled TPUs are D2H-bandwidth-bound, and rgb is
         # quantized at export anyway. None = auto-on for non-CPU backends.
         self.compact_transfer = compact_transfer
-        # rgb wire when compact: "yuv420" (1.5 B/px, matches the mp4/x264
-        # artifact's native pixel format) or "u8" (3 B/px, exact uint8).
-        # None = auto: yuv420 when H and W are even.
+        # rgb wire when compact: "u8" (3 B/px, exact uint8 — the default)
+        # or opt-in "yuv420" (1.5 B/px, matches the mp4/x264 artifact's
+        # native pixel format but 4:2:0-subsamples chroma).
         if wire_rgb not in (None, "u8", "yuv420"):
             raise ValueError(f"wire_rgb must be 'u8' or 'yuv420', got {wire_rgb}")
         self.wire_rgb = wire_rgb
@@ -679,6 +679,7 @@ class AetherPipeline:
         # opt-in int8 activation quantization for the DiT linears (requires
         # int8-quantized weights; v5e int8 MXU is 2x the bf16 peak)
         self.act_quant = act_quant
+
         self.empty_prompt_embeds = jnp.asarray(empty_prompt_embeds, compute_dtype)
         if self.empty_prompt_embeds.ndim == 2:
             self.empty_prompt_embeds = self.empty_prompt_embeds[None]
@@ -686,6 +687,17 @@ class AetherPipeline:
             attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
         self.attn_impl = attn_impl
         self.compute_dtype = compute_dtype
+
+    def _wire_modes(self, compact: bool, height: int, width: int):
+        """(rgb_mode, disp_mode) for the D2H wire. Compact defaults are
+        quantization-exact (u8 rgb / fp16 disparity); the lossier yuv420 /
+        u8-disparity wires are explicit opt-ins (wire_rgb / wire_disparity)."""
+        if not compact:
+            return "f32", "f32"
+        rgb_mode = "u8"
+        if self.wire_rgb == "yuv420" and height % 2 == 0 and width % 2 == 0:
+            rgb_mode = "yuv420"
+        return rgb_mode, ("u8" if self.wire_disparity == "u8" else "fp16")
 
     # ------------------------------------------------------------------
     # validation (reference pipeline:350-449)
@@ -874,18 +886,17 @@ class AetherPipeline:
                 pass
             return arr
 
-        wire = self.wire_rgb or "yuv420"
-        if height % 2 or width % 2:
-            wire = "u8"
+        rgb_mode, disp_mode = self._wire_modes(compact, height, width)
 
         rgb = decode(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
-        rgb_mode = ("yuv420" if compact and wire == "yuv420"
-                    else "u8" if compact else "f32")
         packed = _finish_rgb(rgb, rgb_mode)
         rgb_wire = None
         if rgb_mode == "yuv420":
-            # 1.5 B/px on the wire; reassembled on host below
+            # 1.5 B/px on the wire; reassembled on host below. Drop the
+            # decoded full-res buffer so the resolve closure does not pin
+            # ~85 MB of HBM across the next window under defer_host.
             rgb_wire = tuple(_start_pull(p[0]) for p in packed)
+            rgb = None
         else:
             # start the big rgb pull NOW so it rides the link while the
             # disparity decode computes (D2H is slow enough to hide a decode)
@@ -894,8 +905,7 @@ class AetherPipeline:
         disparity = decode(
             cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
         )
-        disp_u8 = compact and self.wire_disparity == "u8"
-        disp_mode = ("u8" if disp_u8 else "fp16" if compact else "f32")
+        disp_u8 = disp_mode == "u8"
         disparity = _start_pull(_finish_disparity(disparity, disp_mode)[0])
 
         raymap_out = _start_pull(
@@ -1022,11 +1032,8 @@ class AetherPipeline:
         if compact is None:
             compact = jax.default_backend() != "cpu"
 
-        wire = self.wire_rgb or "yuv420"
+        rgb_mode, disp_mode = self._wire_modes(compact, height, width)
         rgb = decode(cfg, dtype, self.vae_params, latents[:, :, :lat_c])
-        even = height % 2 == 0 and width % 2 == 0
-        rgb_mode = ("yuv420" if compact and wire == "yuv420" and even
-                    else "u8" if compact else "f32")
         packed = _finish_rgb(rgb, rgb_mode)
         if rgb_mode == "yuv420":
             rgb = _yuv420_wire_to_rgb(*packed)
@@ -1037,8 +1044,7 @@ class AetherPipeline:
         disparity = decode(
             cfg, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
         )
-        disp_u8 = compact and self.wire_disparity == "u8"
-        disp_mode = ("u8" if disp_u8 else "fp16" if compact else "f32")
+        disp_u8 = disp_mode == "u8"
         disparity = np.asarray(
             _finish_disparity(disparity, disp_mode)).astype(np.float32)
         if disp_u8:

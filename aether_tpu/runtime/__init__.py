@@ -67,11 +67,15 @@ def _load_lib():
         try:
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                # compile to a private temp path + atomic rename: concurrent
+                # first-users must never dlopen a partially written .so
+                tmp = f"{_SO}.{os.getpid()}.tmp"
                 subprocess.run(
                     ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
-                     "-o", _SO, "-lz", "-pthread"],
+                     "-o", tmp, "-lz", "-pthread"],
                     check=True, capture_output=True, text=True, timeout=120,
                 )
+                os.replace(tmp, _SO)
             lib = ctypes.CDLL(_SO)
             lib.npzp_create.restype = ctypes.c_void_p
             lib.npzp_create.argtypes = [ctypes.c_int]
@@ -114,10 +118,14 @@ def _batch_to_dict(lib, batch_ptr) -> Dict[str, np.ndarray]:
             dtype = np.dtype(arr.dtype.decode())
             shape = tuple(arr.shape[j] for j in range(arr.ndim))
             if arr.nbytes:
-                raw = ctypes.string_at(arr.data, arr.nbytes)
-                out[arr.name.decode()] = np.frombuffer(
-                    raw, dtype=dtype
-                ).reshape(shape).copy()
+                view = np.ctypeslib.as_array(
+                    ctypes.cast(arr.data, ctypes.POINTER(ctypes.c_uint8)),
+                    shape=(arr.nbytes,),
+                )
+                out[arr.name.decode()] = (
+                    view.view(dtype)[: arr.nbytes // dtype.itemsize]
+                    .reshape(shape).copy()  # one copy; C buffer freed on release
+                )
             else:
                 out[arr.name.decode()] = np.zeros(shape, dtype)
         return out

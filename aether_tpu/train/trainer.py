@@ -308,8 +308,8 @@ def main(argv=None) -> None:
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         log_every=max(args.steps // 20, 1),
-        # training needs a differentiable memory-efficient attention; the
-        # Pallas flash kernel is inference-only (no VJP)
+        # flash_train: Pallas flash kernel on the forward, blockwise
+        # chunked-attention autodiff as the VJP (ops/chunked_attention.py)
         attn_impl="flash_train" if jax.default_backend() == "tpu" else "xla",
     )
 

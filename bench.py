@@ -95,6 +95,7 @@ def main() -> None:
     # (every mp4 input/output is yuv420p anyway; see pipeline/aether.py)
     pipe = AetherPipeline(cfg, dit_params, vae_params, text, compute_dtype=dtype,
                           wire_input="yuv420" if on_accel else "u8",
+                          wire_rgb="yuv420" if on_accel else None,
                           wire_disparity="u8" if on_accel else "fp16",
                           act_quant=act_quant)
 
@@ -164,7 +165,7 @@ def main() -> None:
         "e2e_runs_s": e2e_times,  # D2H throughput on this link swings 20x
         "backend": backend,
         "weights": weights_format + ("+a8" if act_quant else ""),
-        "wire": (f"in:{pipe.wire_input} rgb:{pipe.wire_rgb or 'yuv420-auto'} "
+        "wire": (f"in:{pipe.wire_input} rgb:{pipe.wire_rgb or 'u8-auto'} "
                  f"disp:{pipe.wire_disparity}"),
         "config": f"{num_frames}f x {height}x{width}, {steps} steps, "
                   f"{cfg.dit.num_layers}L x {cfg.dit.hidden_size}d",
