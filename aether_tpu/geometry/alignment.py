@@ -73,9 +73,13 @@ def align_camera_extrinsics(
     r_tgt = cameras_tgt[:, :, :3]
 
     rr_cov = np.einsum("bji,bjk->bik", r_tgt, r_src).mean(axis=0)
-    # torch.svd returns V (not V^T); align_t_R = V @ U^T
+    # torch.svd returns V (not V^T); align_t_R = V @ U^T. The determinant
+    # sign fix keeps the mean rotation in SO(3) when the covariance is
+    # degenerate (reflections otherwise propagate into every blended pose);
+    # for well-posed inputs det is already +1 and this is a no-op.
     u, _, vt = np.linalg.svd(rr_cov)
-    align_t_r = vt.T @ u.T
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    align_t_r = vt.T @ np.diag([1.0, 1.0, d if d != 0 else 1.0]) @ u.T
 
     t_src = cameras_src[:, :, 3]
     t_tgt = cameras_tgt[:, :, 3]
@@ -123,3 +127,17 @@ def poses_to_extrinsics(poses: np.ndarray) -> np.ndarray:
     out = np.tile(np.eye(4, dtype=poses.dtype), (poses.shape[0], 1, 1))
     out[:, :3, :4] = poses[:, :3, :4]
     return out
+
+
+def project_to_so3(r: "np.ndarray") -> "np.ndarray":
+    """Closest proper rotation (orthogonal Procrustes with det sign fix).
+
+    Defensive repair for near-degenerate 3x3 "rotations" (e.g. recovered from
+    noisy raymaps); non-finite input maps to the identity.
+    """
+    r = np.asarray(r, dtype=np.float64)
+    if not np.all(np.isfinite(r)):
+        return np.eye(3)
+    u, _, vt = np.linalg.svd(r)
+    d = np.sign(np.linalg.det(u @ vt))
+    return u @ np.diag([1.0, 1.0, d if d != 0 else 1.0]) @ vt

@@ -43,8 +43,10 @@ def slerp(q1: np.ndarray, q2: np.ndarray, t: float) -> np.ndarray:
 
 def interpolate_poses(pose1: np.ndarray, pose2: np.ndarray, weight: float) -> np.ndarray:
     """SLERP rotations + lerp translations; ``weight`` is the weight of pose1."""
-    q1 = R.from_matrix(pose1[:3, :3]).as_quat()
-    q2 = R.from_matrix(pose2[:3, :3]).as_quat()
+    from aether_tpu.geometry.alignment import project_to_so3
+
+    q1 = R.from_matrix(project_to_so3(pose1[:3, :3])).as_quat()
+    q2 = R.from_matrix(project_to_so3(pose2[:3, :3])).as_quat()
     q_interp = slerp(q1, q2, 1.0 - weight)
     t_interp = weight * pose1[:3, 3] + (1.0 - weight) * pose2[:3, 3]
 

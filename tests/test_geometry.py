@@ -242,3 +242,29 @@ def test_named_action_raymaps_roundtrip():
         poses = np.asarray(poses)
         np.testing.assert_allclose(poses[:, :3, 3], gt[:, :3, 3], atol=1e-5)
         np.testing.assert_allclose(poses[:, :3, :3], gt[:, :3, :3], atol=0.02)
+
+
+def test_align_extrinsics_never_returns_reflection():
+    """Degenerate pose sets must still yield a proper rotation (det +1)."""
+    from aether_tpu.geometry.alignment import align_camera_extrinsics
+
+    rng = np.random.default_rng(0)
+    # pathological: tgt rotations are reflections of src (mean covariance
+    # has negative determinant)
+    src = np.tile(np.eye(4), (4, 1, 1))
+    tgt = np.tile(np.eye(4), (4, 1, 1))
+    tgt[:, :3, :3] = np.diag([1.0, 1.0, -1.0])
+    tgt[:, :3, 3] = rng.normal(size=(4, 3))
+    r, t, s = align_camera_extrinsics(src, tgt)
+    assert abs(np.linalg.det(np.asarray(r)) - 1.0) < 1e-6
+
+
+def test_interpolate_poses_handles_degenerate_rotation():
+    from aether_tpu.geometry.smoothing import interpolate_poses
+
+    good = np.eye(4)
+    bad = np.eye(4)
+    bad[:3, :3] = np.diag([1.0, 1.0, -1.0])  # left-handed
+    out = interpolate_poses(good, bad, 0.5)
+    assert np.all(np.isfinite(out))
+    assert abs(np.linalg.det(out[:3, :3]) - 1.0) < 1e-6
