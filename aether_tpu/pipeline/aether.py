@@ -148,6 +148,12 @@ def _decode_full(config, dtype, vae_params, latents_cl):
     return vae_decode(vae_params, config.vae, latents_cl.astype(dtype))
 
 
+# Full-range BT.601 coefficients shared by the four yuv420 wire codecs
+# (device/host x pack/unpack must stay exact inverses of each other).
+_YR, _YG, _YB = 0.299, 0.587, 0.114
+_CB_SCALE, _CR_SCALE = 0.564, 0.713
+
+
 def _u8_to_unit(pixels_u8, dtype) -> jnp.ndarray:
     """uint8 wire pixels -> [-1, 1] on device (4x fewer H2D bytes)."""
     return jnp.asarray(pixels_u8).astype(dtype) / 127.5 - 1.0
@@ -166,9 +172,9 @@ def _rgb_to_yuv420_wire(rgb01: jnp.ndarray):
     rf = rgb01[..., 0].astype(jnp.float32)
     gf = rgb01[..., 1].astype(jnp.float32)
     bf = rgb01[..., 2].astype(jnp.float32)
-    y = 0.299 * rf + 0.587 * gf + 0.114 * bf
-    cb = (bf - y) * 0.564 + 0.5
-    cr = (rf - y) * 0.713 + 0.5
+    y = _YR * rf + _YG * gf + _YB * bf
+    cb = (bf - y) * _CB_SCALE + 0.5
+    cr = (rf - y) * _CR_SCALE + 0.5
 
     def sub(c):
         h, w = c.shape[-2], c.shape[-1]
@@ -188,9 +194,9 @@ def _yuv420_wire_to_rgb(y_u8, cb_u8, cr_u8) -> np.ndarray:
     cr = np.asarray(cr_u8).astype(np.float32) / 255.0 - 0.5
     cb = cb.repeat(2, axis=-2).repeat(2, axis=-1)
     cr = cr.repeat(2, axis=-2).repeat(2, axis=-1)
-    r = y + cr / 0.713
-    b = y + cb / 0.564
-    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    r = y + cr / _CR_SCALE
+    b = y + cb / _CB_SCALE
+    g = (y - _YR * r - _YB * b) / _YG
     return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
 
 
@@ -204,9 +210,9 @@ def _rgb_u8_to_yuv420_host(pixels_u8: np.ndarray):
     """
     rgb = np.asarray(pixels_u8).astype(np.float32) / 255.0
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = (b - y) * 0.564 + 0.5
-    cr = (r - y) * 0.713 + 0.5
+    y = _YR * r + _YG * g + _YB * b
+    cb = (b - y) * _CB_SCALE + 0.5
+    cr = (r - y) * _CR_SCALE + 0.5
 
     def sub(c):
         h, w = c.shape[-2], c.shape[-1]
@@ -267,9 +273,9 @@ def _yuv420_to_unit(y_u8, cb_u8, cr_u8, dtype) -> jnp.ndarray:
         return c.reshape(*lead, h2 * 2, w2 * 2)
 
     cb, cr = up(cb), up(cr)
-    r = y + cr / 0.713
-    b = y + cb / 0.564
-    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    r = y + cr / _CR_SCALE
+    b = y + cb / _CB_SCALE
+    g = (y - _YR * r - _YB * b) / _YG
     rgb01 = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
     return (rgb01 * 2.0 - 1.0).astype(dtype)
 
