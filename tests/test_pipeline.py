@@ -388,3 +388,34 @@ def test_defer_host_identical(tiny_pipeline, rng):
     np.testing.assert_array_equal(out.rgb, eager.rgb)
     np.testing.assert_array_equal(out.disparity, eager.disparity)
     np.testing.assert_array_equal(out.raymap, eager.raymap)
+
+
+def test_wire_mode_defaults_are_exact(tiny_pipeline, rng):
+    """Compact defaults: u8 rgb (1/255-exact) + fp16 disparity; lossy wires
+    require explicit opt-in."""
+    assert tiny_pipeline._wire_modes(False, 64, 96) == ("f32", "f32")
+    assert tiny_pipeline._wire_modes(True, 64, 96) == ("u8", "fp16")
+
+    cfg = tiny_pipeline.config
+    lossy = AetherPipeline(
+        cfg, tiny_pipeline.dit_params, tiny_pipeline.vae_params,
+        np.asarray(tiny_pipeline.empty_prompt_embeds[0]),
+        attn_impl="xla", compute_dtype=jnp.float32,
+        wire_rgb="yuv420", wire_disparity="u8",
+    )
+    assert lossy._wire_modes(True, 64, 96) == ("yuv420", "u8")
+    assert lossy._wire_modes(True, 63, 96) == ("u8", "u8")  # odd dims fall back
+
+    # compact u8 default tracks the exact f32 wire within quantization
+    video = (rng.uniform(0, 1, size=(F, H, W, 3)) * 255).astype(np.uint8)
+    kwargs = dict(task="reconstruction", video=video, height=H, width=W,
+                  num_frames=F, num_inference_steps=1, fps=12, seed=3)
+    exact = tiny_pipeline(**kwargs)
+    compact = AetherPipeline(
+        cfg, tiny_pipeline.dit_params, tiny_pipeline.vae_params,
+        np.asarray(tiny_pipeline.empty_prompt_embeds[0]),
+        attn_impl="xla", compute_dtype=jnp.float32, compact_transfer=True,
+    )
+    got = compact(**kwargs)
+    assert np.max(np.abs(got.rgb - exact.rgb)) <= (0.5 / 255.0) + 1e-6
+    assert np.max(np.abs(got.disparity - exact.disparity)) < 2e-3  # fp16 wire
