@@ -339,7 +339,11 @@ def main(argv=None) -> None:
                 # pull rides the link during the next denoise
                 deferred = None
                 for start in window_indices:
-                    with stage_timer(f"window@{start}"):
+                    # timed stage is named dispatch@, not window@: under
+                    # defer_host it covers only the async dispatch of this
+                    # window (the host transfer resolves outside, overlapped
+                    # with the next window) and must not be read as latency
+                    with stage_timer(f"dispatch@{start}"):
                         out = pipeline(
                             task="reconstruction",
                             video=video[start : start + args.num_frames],
@@ -352,10 +356,12 @@ def main(argv=None) -> None:
                             seed=args.seed, defer_host=True,
                         )
                     if deferred is not None:
-                        window_results.append(deferred.resolve())
-                    deferred = out
+                        with stage_timer(f"resolve@{prev_start}"):
+                            window_results.append(deferred.resolve())
+                    deferred, prev_start = out, start
                 if deferred is not None:
-                    window_results.append(deferred.resolve())
+                    with stage_timer(f"resolve@{prev_start}"):
+                        window_results.append(deferred.resolve())
             rgb, disparity, poses, pointmaps = blend_and_merge_window_results(
                 window_results, window_indices, args.height, args.width,
                 smooth_camera=args.smooth_camera,

@@ -27,6 +27,7 @@ Parameters are a plain nested dict of arrays; linear weights use [in, out] layou
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 
@@ -83,17 +84,23 @@ def layer_norm(
 ) -> jnp.ndarray:
     """LayerNorm over the last axis in f32; returns x's dtype.
 
-    Single-pass moments (E[x^2] - E[x]^2) so both reductions stream from the
-    bf16 input instead of materializing an f32 copy (square(x - mean) depends
-    on the reduce result, which breaks the input fusion).
+    Single-pass moments (E[y^2] - E[y]^2 with y = x - c) so both reductions
+    stream from the bf16 input instead of materializing an f32 copy
+    (square(x - mean) depends on the reduce result, which breaks the input
+    fusion). The shift c = x[..., :1] (first element per row, elementwise
+    broadcast — no reduction dependency, still fuses) bounds the cancellation:
+    for large-mean small-variance rows E[y] stays O(spread) instead of O(mean),
+    so mean(y)^2 ~ E[y^2] and the subtraction loses no significant bits.
     """
     dtype = x.dtype
     x = x.astype(jnp.float32)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
+    y0 = x - x[..., :1]
+    mean_y = jnp.mean(y0, axis=-1, keepdims=True)
     var = jnp.maximum(
-        jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean), 0.0
+        jnp.mean(jnp.square(y0), axis=-1, keepdims=True) - jnp.square(mean_y),
+        0.0,
     )
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = (y0 - mean_y) * jax.lax.rsqrt(var + eps)
     if scale is not None:
         y = y * scale.astype(jnp.float32)
     if bias is not None:
@@ -402,6 +409,37 @@ def _ada_modulate(
     return x_n, e_n, gate[:, None], e_gate[:, None]
 
 
+def _sharded_flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh, interpret: bool
+) -> jnp.ndarray:
+    """Partition the Pallas flash kernel over a ('dp', 'tp') mesh.
+
+    ``pallas_call`` is an opaque custom call to GSPMD: without this wrapper the
+    tp-sharded q/k/v (heads split by the Megatron qkv projections) would be
+    all-gathered and the full attention would run replicated on every chip.
+    ``shard_map`` splits the heads axis across 'tp' (48 heads / tp=8 = 6 per
+    chip) and the batch axis across 'dp' when divisible, so each chip runs the
+    kernel on exactly its own heads — zero collectives, attention scales
+    linearly with tp. Head-count divisibility is required for 'tp' (the 48-head
+    flagship divides any pow2 tp <= 16); otherwise that axis stays replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    b, nh = q.shape[0], q.shape[1]
+    tp = mesh.shape.get("tp", 1)
+    dp = mesh.shape.get("dp", 1)
+    head_axis = "tp" if tp > 1 and nh % tp == 0 else None
+    batch_axis = "dp" if dp > 1 and b % dp == 0 else None
+    if head_axis is None and batch_axis is None:
+        return flash_attention(q, k, v, interpret=interpret)
+    spec = P(batch_axis, head_axis, None, None)
+    fn = functools.partial(flash_attention, interpret=interpret)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
 def _attention(
     attn_p: Params,
     hidden: jnp.ndarray,
@@ -411,6 +449,7 @@ def _attention(
     cfg: DiTConfig,
     attn_impl: str,
     a8: bool = False,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     text_len = enc.shape[1]
     x = jnp.concatenate([enc, hidden], axis=1)  # text first
@@ -431,10 +470,12 @@ def _attention(
         q = apply_rotary_emb(q, rope_cos, rope_sin)
         k = apply_rotary_emb(k, rope_cos, rope_sin)
 
-    if attn_impl == "flash":
-        attn = flash_attention(q, k, v)
-    elif attn_impl == "flash_interpret":
-        attn = flash_attention(q, k, v, interpret=True)
+    if attn_impl in ("flash", "flash_interpret"):
+        interpret = attn_impl == "flash_interpret"
+        if mesh is not None:
+            attn = _sharded_flash_attention(q, k, v, mesh, interpret)
+        else:
+            attn = flash_attention(q, k, v, interpret=interpret)
     elif attn_impl == "chunked":
         from aether_tpu.ops.chunked_attention import chunked_attention
 
@@ -508,8 +549,17 @@ def dit_forward(
     remat: bool = False,
     ofs: Optional[jnp.ndarray] = None,
     act_quant: bool = False,
+    mesh=None,
+    collect_blocks: bool = False,
 ) -> jnp.ndarray:
     """Denoiser forward.
+
+    ``mesh``: optional ('dp', 'tp') ``jax.sharding.Mesh``. When set and
+    ``attn_impl`` is a flash variant, the Pallas attention kernel is
+    ``shard_map``-partitioned over the mesh (heads on 'tp', batch on 'dp') so
+    tensor parallelism reaches inside the opaque kernel — see
+    :func:`_sharded_flash_attention`. All other ops partition via GSPMD from
+    the parameter shardings alone.
 
     ``remat=True`` rematerializes each block on the backward pass
     (``jax.checkpoint`` around the scanned block) — activation memory drops
@@ -582,7 +632,7 @@ def dit_forward(
             hid, enc, temb, block_p["norm1"], cfg.norm_eps
         )
         attn_h, attn_e = _attention(
-            block_p["attn"], h_n, e_n, rc, rs, cfg, attn_impl, act_quant
+            block_p["attn"], h_n, e_n, rc, rs, cfg, attn_impl, act_quant, mesh
         )
         hid = hid + (gate * attn_h.astype(jnp.float32)).astype(hid.dtype)
         enc = enc + (e_gate * attn_e.astype(jnp.float32)).astype(enc.dtype)
@@ -598,10 +648,13 @@ def dit_forward(
         text_len = enc.shape[1]
         hid = hid + (gate * ff[:, text_len:].astype(jnp.float32)).astype(hid.dtype)
         enc = enc + (e_gate * ff[:, :text_len].astype(jnp.float32)).astype(enc.dtype)
-        return (hid, enc), None
+        # collect_blocks: per-block activation snapshots for layerwise parity
+        # diffing against recorded torch goldens (tests only; y=None keeps the
+        # production scan allocation-free)
+        return (hid, enc), ((hid, enc) if collect_blocks else None)
 
     scanned_body = jax.checkpoint(block_body) if remat else block_body
-    (video_tokens, text_tokens), _ = jax.lax.scan(
+    (video_tokens, text_tokens), block_outs = jax.lax.scan(
         scanned_body, (video_tokens, text_tokens), params["blocks"]
     )
 
@@ -621,4 +674,7 @@ def dit_forward(
     )
     x = _linear(x, params["proj_out"]["w"], params["proj_out"]["b"])
 
-    return _unpatchify(x, f, hp, wp, cfg.out_channels, p, pt)
+    out = _unpatchify(x, f, hp, wp, cfg.out_channels, p, pt)
+    if collect_blocks:
+        return out, block_outs
+    return out

@@ -102,20 +102,25 @@ def group_norm(
 ) -> jnp.ndarray:
     """GroupNorm over (T, H, W, C/g) per (batch, group) — torch 5D semantics.
 
-    Single-pass moments (E[x^2] - E[x]^2): both reductions stream straight
-    from the bf16 input. The two-pass form square(x - mean) depends on the
-    reduce result, so XLA materializes a full f32 temp of the activation —
-    ~1 GB per 480p decode chunk and the difference between fitting and OOM
-    at batch 2.
+    Single-pass moments (E[y^2] - E[y]^2 with y = x - c): both reductions
+    stream straight from the bf16 input. The two-pass form square(x - mean)
+    depends on the reduce result, so XLA materializes a full f32 temp of the
+    activation — ~1 GB per 480p decode chunk and the difference between
+    fitting and OOM at batch 2. The shift c (one sample per batch x group,
+    broadcast-subtracted — no reduction dependency, still fuses) bounds the
+    cancellation for large-mean small-variance groups: E[y] is O(spread)
+    rather than O(mean), so the m2 - m1^2 subtraction stays well-conditioned.
     """
     btype = x.dtype
     b, t, h, w, c = x.shape
     xg = x.reshape(b, t, h, w, groups, c // groups)
     xf = xg.astype(jnp.float32)
-    m1 = jnp.mean(xf, axis=(1, 2, 3, 5), keepdims=True)
-    m2 = jnp.mean(jnp.square(xf), axis=(1, 2, 3, 5), keepdims=True)
+    c0 = xf[:, :1, :1, :1, :, :1]
+    yf = xf - c0
+    m1 = jnp.mean(yf, axis=(1, 2, 3, 5), keepdims=True)
+    m2 = jnp.mean(jnp.square(yf), axis=(1, 2, 3, 5), keepdims=True)
     var = jnp.maximum(m2 - jnp.square(m1), 0.0)
-    y = (xf - m1) * jax.lax.rsqrt(var + eps)
+    y = (yf - m1) * jax.lax.rsqrt(var + eps)
     y = y.reshape(b, t, h, w, c)
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(btype)
 

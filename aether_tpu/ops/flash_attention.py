@@ -121,6 +121,27 @@ def _flash_kernel(
         o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
+def _vmem_limit_bytes(
+    block_q: int, block_k: int, hper: int, dim: int, itemsize: int
+) -> int:
+    """Derive the per-kernel VMEM budget from the actual tile footprint.
+
+    Previously hard-coded to 110 MB for the default (1024, 1024, hper=4, d=64)
+    shape; callers passing bigger blocks or more heads per cell silently ran
+    past it. Accounted buffers: double-buffered q/k/v/o pipeline tiles, the f32
+    scores/probs intermediate (the dominant term: hper*block_q*block_k), and
+    the m/l/acc scratch. The 2.55x headroom factor calibrates the default shape
+    to the 110 MB budget measured working on v5e (Mosaic materializes masks,
+    broadcasts and select temporaries beyond the named buffers); oversized
+    configurations now fail loudly at compile time instead of overflowing a
+    fixed cap.
+    """
+    io_tiles = 2 * (block_q + 2 * block_k + block_q) * hper * dim * itemsize
+    s_and_p = 2 * hper * block_q * block_k * 4
+    scratch = hper * block_q * (128 + 128 + dim) * 4
+    return int((io_tiles + s_and_p + scratch) * 2.55)
+
+
 def _pick_block(seq: int, requested: int) -> int:
     """Block size <= requested (multiple of 128).
 
@@ -222,7 +243,9 @@ def flash_attention(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit_bytes(
+                block_q, block_k, hper, dim, q.dtype.itemsize
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * seq_pad * seq_pad * dim,

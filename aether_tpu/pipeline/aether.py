@@ -537,7 +537,7 @@ def _decode_pixels(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "attn_impl", "compute_dtype", "task", "do_cfg",
-                     "act_quant"),
+                     "act_quant", "mesh"),
 )
 def _denoise(
     config: PipelineConfig,
@@ -554,6 +554,7 @@ def _denoise(
     rope_sin: jnp.ndarray,
     key: jax.Array,
     act_quant: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """The jitted denoise loop; returns final (1, F_lat, 56, h, w) latents."""
     cfg = config
@@ -593,6 +594,7 @@ def _denoise(
         noise_pred = dit_forward(
             dit_params, cfg.dit, model_in, text, t_batch,
             rope_cos, rope_sin, attn_impl=attn_impl, act_quant=act_quant,
+            mesh=mesh,
         ).astype(jnp.float32)
         if do_cfg:
             uncond_pred, cond_pred = jnp.split(noise_pred, 2, axis=0)
@@ -873,7 +875,7 @@ class AetherPipeline:
                 self.dit_params, self.empty_prompt_embeds, condition_latents,
                 plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
                 jnp.asarray(rope_sin), key_denoise,
-                act_quant=self.act_quant,
+                act_quant=self.act_quant, mesh=self.mesh,
             )
 
         # ---- stage 3: chunked VAE decode + output transforms ----
@@ -1029,7 +1031,7 @@ class AetherPipeline:
                 self.dit_params, self.empty_prompt_embeds, condition_latents,
                 plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
                 jnp.asarray(rope_sin), key_denoise,
-                act_quant=self.act_quant,
+                act_quant=self.act_quant, mesh=self.mesh,
             )
 
         lat_c = cfg.vae.latent_channels

@@ -128,6 +128,27 @@ bool parse_npy(const uint8_t* buf, size_t len, NpzArray* out,
     *err = "unsupported descr";
     return false;
   }
+  // only simple little-endian/byte-order-free numeric scalars: '<f2', '|u1',
+  // '=i4', ... Strings ('<U10': itemsize 4*10, not 10), bytes, objects,
+  // datetimes and structured dtypes would be silently mis-sized by the
+  // digits-from-descr element-size parse below — reject them explicitly.
+  {
+    size_t t = 0;
+    if (d[t] == '<' || d[t] == '|' || d[t] == '=') t++;
+    else if (d[t] == '>') { *err = "big-endian descr unsupported: " + d; return false; }
+    if (t >= d.size() ||
+        (d[t] != 'b' && d[t] != 'i' && d[t] != 'u' && d[t] != 'f' &&
+         d[t] != 'c')) {
+      *err = "non-numeric descr unsupported: " + d;
+      return false;
+    }
+    for (size_t i = t + 1; i < d.size(); ++i) {
+      if (d[i] < '0' || d[i] > '9') {
+        *err = "non-numeric descr unsupported: " + d;
+        return false;
+      }
+    }
+  }
   std::snprintf(out->dtype, sizeof(out->dtype), "%s", d.c_str());
 
   std::string fortran = find_value("'fortran_order'");
@@ -198,6 +219,13 @@ void load_npz(const char* path, NpzBatch* b) {
   if (eocd < 0) { set_error(b, "no zip EOCD record"); return; }
   uint16_t n_entries = rd16(&buf[eocd + 10]);
   uint32_t cd_off = rd32(&buf[eocd + 16]);
+  // Zip64 archives (> 4 GB members/offsets or > 65534 entries) store 0xFFFF /
+  // 0xFFFFFFFF sentinels here with the real values in a Zip64 EOCD record,
+  // which this parser does not read — fail loudly instead of mis-seeking.
+  if (n_entries == 0xFFFF || cd_off == 0xFFFFFFFFu) {
+    set_error(b, "zip64 archive unsupported (use the np.load fallback)");
+    return;
+  }
 
   size_t pos = cd_off;
   for (int e = 0; e < n_entries; ++e) {
@@ -215,6 +243,10 @@ void load_npz(const char* path, NpzBatch* b) {
     uint32_t lho = rd32(&buf[pos + 42]);
     std::string name(reinterpret_cast<char*>(&buf[pos + 46]), nlen);
     pos += 46 + nlen + xlen + clen;
+    if (csize == 0xFFFFFFFFu || usize == 0xFFFFFFFFu || lho == 0xFFFFFFFFu) {
+      set_error(b, "zip64 member unsupported: " + name);
+      return;
+    }
 
     if (b->n_arrays >= kMaxArrays) { set_error(b, "too many arrays"); return; }
     // local header: recompute the data offset (local xlen can differ)
@@ -254,6 +286,11 @@ void load_npz(const char* path, NpzBatch* b) {
     std::string key = name;
     if (key.size() > 4 && key.substr(key.size() - 4) == ".npy")
       key = key.substr(0, key.size() - 4);
+    if (key.size() >= sizeof(arr->name)) {
+      // snprintf truncation could silently collide two long keys
+      set_error(b, "member name too long (>= 64 chars): " + key);
+      return;
+    }
     std::snprintf(arr->name, sizeof(arr->name), "%s", key.c_str());
     std::string err;
     if (!parse_npy(npy, npy_len, arr, &err)) {

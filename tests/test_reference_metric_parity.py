@@ -1,0 +1,192 @@
+"""Pin eval metrics to the REFERENCE implementation's numbers.
+
+``tests/fixtures/depth_metric_goldens.json`` holds metric dicts produced by
+running the reference ``evaluation/video_depth/tools.py::depth_evaluation``
+(torch) on seeded synthetic arrays (``scripts/make_metric_goldens.py``). These
+tests re-generate the same inputs and assert our
+``aether_tpu.eval.depth_metrics.depth_evaluation`` reproduces every metric for
+every alignment mode — median / lstsq / LAD / LAD2-Adam / Weiszfeld / metric,
+plus custom-mask, clip, no-max-depth and disparity-space variants.
+
+The pose side has no runnable reference here (``evo`` is not installed), so
+ATE/RPE are pinned analytically: trajectories with known transforms whose
+metric values are derivable in closed form (reference formulas at
+``evaluation/rel_pose/evo_utils.py:162-246``: APE translation with Umeyama
+align+scale; RPE delta=1, all-pairs, rotation angle in degrees).
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from aether_tpu.eval.depth_metrics import depth_evaluation
+
+FIXTURE = (pathlib.Path(__file__).parent / "fixtures"
+           / "depth_metric_goldens.json")
+
+
+def _make_cases(seed: int = 1234):
+    """MUST mirror scripts/make_metric_goldens.py::make_cases exactly."""
+    rng = np.random.default_rng(seed)
+    f, h, w = 4, 24, 32
+    gt = rng.uniform(0.5, 60.0, size=(f, h, w))
+    gt[rng.uniform(size=gt.shape) < 0.08] = 0.0
+    gt[rng.uniform(size=gt.shape) < 0.03] = 120.0
+    pred = 0.7 * gt + 1.3 + rng.normal(0, 0.8, size=gt.shape)
+    pred = np.clip(pred, 0.05, None)
+    custom = rng.uniform(size=gt.shape) < 0.85
+
+    disp_gt = np.where(gt > 0, 1.0 / np.maximum(gt, 1e-3), 0.0)
+    disp_pred = 0.9 * disp_gt + 0.02 + rng.normal(0, 0.01, size=gt.shape)
+    disp_pred = np.clip(disp_pred, 1e-4, None)
+
+    cases = {}
+    for align in ("median", "lstsq", "lad", "lad2", "scale", "metric"):
+        cases[f"align_{align}"] = (pred, gt, align, {})
+    cases["median_custom_mask"] = (pred, gt, "median", {"custom_mask": custom})
+    cases["lstsq_clips"] = (pred, gt, "lstsq",
+                            {"pre_clip_min": 0.2, "pre_clip_max": 70.0,
+                             "post_clip_min": 0.1, "post_clip_max": 90.0})
+    cases["median_no_max_depth"] = (pred, gt, "median", {"max_depth": None})
+    cases["scale_disp_input"] = (disp_pred, gt, "scale", {"disp_input": True})
+    return cases
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    return json.loads(FIXTURE.read_text())
+
+
+@pytest.fixture(scope="module")
+def cases():
+    return _make_cases()
+
+
+@pytest.mark.parametrize("name", [
+    "align_median", "align_lstsq", "align_lad", "align_lad2", "align_scale",
+    "align_metric", "median_custom_mask", "lstsq_clips",
+    "median_no_max_depth", "scale_disp_input",
+])
+def test_depth_metric_parity(goldens, cases, name):
+    pred, gt, align, kwargs = cases[name]
+    golden = goldens["cases"][name]
+    results, parity, aligned, gt_masked = depth_evaluation(
+        pred.copy(), gt.copy(), align=align, **kwargs
+    )
+    # LAD2 runs Adam: torch f64 in the reference vs jax f32 here — the
+    # optimizers converge to the same optimum but the early-stop step count
+    # can differ by a few f32-noise iterations. Weiszfeld ('scale') is IRLS
+    # with 1/|residual| weights: summation-order float noise near zero
+    # residuals is amplified across the 10 iterations, so torch-vs-numpy
+    # agreement bottoms out ~1e-5 on s (measured; same formulas verbatim).
+    # Everything else is closed form and must match to 1e-5.
+    tol = {"lad2": 1e-3, "scale": 1e-4}.get(align, 1e-5)
+    for key, want in golden["metrics"].items():
+        got = results[key]
+        assert got == pytest.approx(want, rel=tol, abs=tol), (
+            f"{name}.{key}: ours={got!r} reference={want!r}"
+        )
+    assert float(np.asarray(parity).sum()) == pytest.approx(
+        golden["parity_sum"], rel=tol, abs=tol)
+    assert float(np.asarray(gt_masked).sum()) == pytest.approx(
+        golden["gt_masked_sum"], rel=1e-6)
+    assert float(np.asarray(aligned).mean()) == pytest.approx(
+        golden["aligned_mean"], rel=tol, abs=tol)
+
+
+# ---------------------------------------------------------------------------
+# pose metrics: analytic goldens (evo formulas, evo_utils.py:162-246)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_traj(n=40, seed=3):
+    """A smooth, well-conditioned c2w trajectory."""
+    rng = np.random.default_rng(seed)
+    ts = np.linspace(0, 2 * np.pi, n)
+    poses = np.zeros((n, 4, 4))
+    for i, t in enumerate(ts):
+        cz, sz = np.cos(0.2 * t), np.sin(0.2 * t)
+        rot = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
+        poses[i, :3, :3] = rot
+        poses[i, :3, 3] = [np.cos(t), np.sin(t), 0.1 * t]
+        poses[i, 3, 3] = 1.0
+    return poses + 0.0 * rng.normal()  # rng kept for future perturbation cases
+
+
+def test_ate_zero_under_sim3():
+    """APE with align+scale (reference evo_utils.py:188-195) is Sim(3)-
+    invariant: a scaled, rotated, translated copy scores ATE ~ 0."""
+    from aether_tpu.eval.pose_metrics import ate_rmse, poses_to_traj
+
+    gt = _synthetic_traj()
+    angle = 0.7
+    rot = np.array([
+        [np.cos(angle), -np.sin(angle), 0],
+        [np.sin(angle), np.cos(angle), 0],
+        [0, 0, 1.0],
+    ])
+    pred = gt.copy()
+    pred[:, :3, 3] = 2.5 * (gt[:, :3, 3] @ rot.T) + np.array([1.0, -2.0, 3.0])
+    pred[:, :3, :3] = rot @ gt[:, :3, :3]
+    err = ate_rmse(poses_to_traj(pred), poses_to_traj(gt))
+    assert err == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ate_known_offset():
+    """Alternating +-d offsets along one axis after optimal alignment leave a
+    residual with known RMSE: offsets +-d around their mean give RMSE ~ d
+    (alignment can remove only mean and scale, and the perturbation is
+    constructed orthogonal to the scale direction)."""
+    from aether_tpu.eval.pose_metrics import ate_rmse, poses_to_traj
+
+    n, d = 40, 0.05
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    # gt points along x only; perturb pred along z with a +--+ pattern that has
+    # zero mean AND zero first moment against the linear x ramp, so the optimal
+    # SE(3) alignment keeps R~I (up to a residual-preserving rotation about x)
+    # and t~0, leaving a per-frame residual of exactly d. Scale correction must
+    # be off: the optimal similarity SHRINKS the trajectory to trade x-fit for
+    # z-error (s = sig_x^2/(sig_x^2+d^2) < 1), which would mix the two.
+    gt[:, 0, 3] = np.linspace(0, 1, n)
+    pred = gt.copy()
+    signs = np.tile([1.0, -1.0, -1.0, 1.0], n // 4)
+    pred[:, 2, 3] = d * signs
+    err = ate_rmse(poses_to_traj(pred), poses_to_traj(gt), correct_scale=False)
+    assert err == pytest.approx(d, rel=1e-4)
+
+
+def test_rpe_known_rotation_and_translation():
+    """RPE delta=1 with a constant per-step extra rotation of theta about z and
+    an extra step of length e: rot-RPE = theta (deg), trans-RPE = e."""
+    from aether_tpu.eval.pose_metrics import poses_to_traj, rpe
+
+    n = 30
+    theta = np.deg2rad(2.0)
+    extra = 0.03
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 0, 3] = np.arange(n) * 0.1
+
+    # rotation case: per-step extra rotation theta about z, SAME translations
+    # as gt (mixing both would couple the frame-i rotation into the relative
+    # translation and smear the constructed value)
+    pred_rot = gt.copy()
+    for i in range(n):
+        a = i * theta
+        pred_rot[i, :3, :3] = np.array([
+            [np.cos(a), -np.sin(a), 0],
+            [np.sin(a), np.cos(a), 0],
+            [0, 0, 1.0],
+        ])
+    # translation case: identity rotations, step length 0.1 + extra
+    pred_trans = gt.copy()
+    pred_trans[:, 0, 3] = np.arange(n) * (0.1 + extra)
+
+    gt_t = poses_to_traj(gt)
+    rot_deg = rpe(poses_to_traj(pred_rot), gt_t, delta=1, rotation=True,
+                  correct_scale=False)
+    trans = rpe(poses_to_traj(pred_trans), gt_t, delta=1, rotation=False,
+                correct_scale=False)
+    assert rot_deg == pytest.approx(2.0, rel=1e-6)
+    assert trans == pytest.approx(extra, rel=1e-5)

@@ -48,6 +48,63 @@ def test_sharded_matches_unsharded(tiny_setup):
     np.testing.assert_allclose(out_sh.raymap, out_ref.raymap, atol=2e-4)
 
 
+def test_tp_flash_attention_matches_unsharded():
+    """The Pallas flash kernel must partition under tp (VERDICT round 1, item 1):
+    8-head DiT on the 8-device mesh with attn_impl='flash_interpret' under tp=8
+    (1 head/chip — exercises heads_per_cell clamping 4 -> 1) must match the
+    unsharded XLA path."""
+    from aether_tpu.config import DiTConfig
+    from aether_tpu.models.dit import dit_forward, init_dit_params
+    from aether_tpu.models.rope import prepare_rotary_positional_embeddings
+    from aether_tpu.parallel.mesh import dit_param_sharding, shard_params
+
+    cfg = DiTConfig(
+        num_layers=2, num_heads=8, head_dim=16, text_embed_dim=32,
+        max_text_seq_length=8, time_embed_dim=32, sample_height=8,
+        sample_width=12,
+    )
+    key = jax.random.PRNGKey(5)
+    params = init_dit_params(key, cfg)
+    f, h, w = 3, 8, 12
+    rng = np.random.default_rng(11)
+    hidden = jnp.asarray(rng.normal(size=(1, f, cfg.in_channels, h, w)),
+                         jnp.float32)
+    text = jnp.asarray(
+        rng.normal(size=(1, cfg.max_text_seq_length, cfg.text_embed_dim)),
+        jnp.float32)
+    t = jnp.array([500], jnp.int32)
+    cos, sin = prepare_rotary_positional_embeddings(
+        cfg, h * 8, w * 8, f, vae_scale_factor_spatial=8, fps=12)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    ref = dit_forward(params, cfg, hidden, text, t, cos, sin, attn_impl="xla")
+
+    mesh = make_mesh(dp=1, tp=8)
+    sh_params = shard_params(params, dit_param_sharding(cfg, mesh), mesh)
+    with mesh:
+        out = jax.jit(
+            lambda p, x, e, ts: dit_forward(
+                p, cfg, x, e, ts, cos, sin, attn_impl="flash_interpret",
+                mesh=mesh,
+            )
+        )(sh_params, hidden, text, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_tp_flash_pipeline_runs(tiny_setup):
+    """Full pipeline with the flash kernel partitioned under (dp=2, tp=4)."""
+    cfg, dit, vae, text = tiny_setup
+    mesh = make_mesh(dp=2, tp=4)
+    base = AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32,
+                          attn_impl="xla")
+    out_ref = _run(base)
+    sharded = AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32,
+                             attn_impl="flash_interpret", mesh=mesh)
+    out_sh = _run(sharded)
+    np.testing.assert_allclose(out_sh.rgb, out_ref.rgb, atol=2e-4)
+    np.testing.assert_allclose(out_sh.disparity, out_ref.disparity, atol=2e-4)
+
+
 def test_sharded_reconstruction_runs(tiny_setup):
     cfg, dit, vae, text = tiny_setup
     mesh = make_mesh(dp=1, tp=8)
