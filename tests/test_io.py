@@ -103,3 +103,125 @@ def test_dit_converter_shapes_and_forward(tmp_path):
                       jnp.asarray(cos), jnp.asarray(sin), attn_impl="xla")
     assert out.shape == (1, f, cfg.out_channels, h, w)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+# ---------------------------------------------------------------------------
+# convert dress rehearsal (VERDICT round 1, item 8)
+# ---------------------------------------------------------------------------
+
+
+def test_convert_dress_rehearsal(tmp_path):
+    """Full offline conversion path, end to end: synthetic HF-layout
+    safetensors (upstream names, sharded) -> ``python -m aether_tpu.io.convert``
+    -> orbax -> ``apps/demo.py --checkpoint`` reconstruction on CPU. Reference
+    load sites: ``scripts/demo.py:206-232``."""
+    import pathlib
+    import sys
+
+    scripts = pathlib.Path(__file__).parent.parent / "scripts"
+    sys.path.insert(0, str(scripts))
+    try:
+        from make_synthetic_checkpoint import write_synthetic_checkpoint
+    finally:
+        sys.path.pop(0)
+
+    hf_dir = tmp_path / "hf"
+    tdir, vdir = write_synthetic_checkpoint(hf_dir, config="tiny", shards=2)
+
+    from aether_tpu.io import convert
+
+    out_dir = tmp_path / "converted"
+    convert.main(["--transformer", tdir, "--vae", vdir,
+                  "--out", str(out_dir), "--config", "tiny"])
+    assert (out_dir / "text_embeds.npy").exists()
+
+    # converted orbax tree must match a direct in-memory conversion exactly
+    from safetensors.torch import load_file
+
+    import glob as _glob
+
+    sd = {}
+    for shard in sorted(_glob.glob(str(pathlib.Path(tdir) / "*.safetensors"))):
+        sd.update(load_file(shard))
+    direct = convert_dit_state_dict(sd, DiTConfig.tiny())
+    restored = load_checkpoint(str(out_dir / "dit"))
+
+    import jax
+
+    def _cmp(a, b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    jax.tree_util.tree_map(_cmp, direct, restored)
+
+    # drive apps/demo.py --checkpoint end to end (17f tiny reconstruction)
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    frames = [
+        Image.fromarray(
+            (rng.uniform(0, 1, (64, 96, 3)) * 255).astype(np.uint8)
+        )
+        for _ in range(17)
+    ]
+    video_path = tmp_path / "input.gif"
+    frames[0].save(video_path, save_all=True, append_images=frames[1:],
+                   duration=80, loop=0)
+
+    from aether_tpu.apps import demo
+
+    out_root = tmp_path / "outputs"
+    demo.main([
+        "--task", "reconstruction", "--video", str(video_path),
+        "--checkpoint", str(out_dir), "--config", "tiny",
+        "--height", "64", "--width", "96", "--num_frames", "17",
+        "--num_inference_steps", "1", "--output_dir", str(out_root),
+        "--pointcloud_save_frame_interval", "100",
+    ])
+    written = list(out_root.rglob("*"))
+    # save_video picks mp4 when an encoder exists, else MJPEG .avi / .gif
+    assert any(p.suffix in (".gif", ".mp4", ".avi") for p in written), written
+
+
+def test_convert_quantized_fp8(tmp_path):
+    """--quantize fp8 conversion produces a loadable quantized tree that the
+    DiT forward accepts."""
+    import pathlib
+    import sys
+
+    scripts = pathlib.Path(__file__).parent.parent / "scripts"
+    sys.path.insert(0, str(scripts))
+    try:
+        from make_synthetic_checkpoint import write_synthetic_checkpoint
+    finally:
+        sys.path.pop(0)
+
+    tdir, vdir = write_synthetic_checkpoint(tmp_path / "hf", config="tiny",
+                                            shards=1)
+    from aether_tpu.io import convert
+
+    out_dir = tmp_path / "converted_fp8"
+    convert.main(["--transformer", tdir, "--vae", vdir,
+                  "--out", str(out_dir), "--config", "tiny",
+                  "--quantize", "fp8"])
+
+    import jax.numpy as jnp
+
+    from aether_tpu.models.dit import dit_forward
+    from aether_tpu.models.rope import prepare_rotary_positional_embeddings
+
+    cfg = DiTConfig.tiny()
+    params = load_checkpoint(str(out_dir / "dit"))
+    assert params["blocks"]["attn"]["q_w"]["q"].dtype == jnp.float8_e4m3fn
+
+    f, h, w = 2, 8, 12
+    rng = np.random.default_rng(1)
+    hidden = jnp.asarray(rng.normal(size=(1, f, cfg.in_channels, h, w)),
+                         jnp.float32)
+    text = jnp.asarray(
+        rng.normal(size=(1, cfg.max_text_seq_length, cfg.text_embed_dim)),
+        jnp.float32)
+    cos, sin = prepare_rotary_positional_embeddings(
+        cfg, h * 8, w * 8, f, vae_scale_factor_spatial=8, fps=12)
+    out = dit_forward(params, cfg, hidden, text, jnp.array([10]),
+                      jnp.asarray(cos), jnp.asarray(sin), attn_impl="xla")
+    assert np.all(np.isfinite(np.asarray(out)))
