@@ -78,9 +78,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--smooth_method", type=str, default="kalman",
                    choices=["kalman", "simple"])
     p.add_argument("--sliding_window_stride", type=int, default=24)
-    p.add_argument("--batch_windows", type=int, default=1,
+    p.add_argument("--batch_windows", type=int, default=None,
                    help="Reconstruct N sliding windows per batched denoise "
-                        "(data-parallel across the device mesh).")
+                        "(data-parallel across the device mesh). Default: "
+                        "the mesh's dp size when a dp>1 mesh is set, else 1.")
     p.add_argument("--post_reconstruction", action="store_true", default=True)
     p.add_argument("--no_post_reconstruction", dest="post_reconstruction",
                    action="store_false")
@@ -296,6 +297,14 @@ def main(argv=None) -> None:
     args = parse_args(argv)
     pipeline, _cfg = build_pipeline(args)
 
+    if args.batch_windows is None:
+        # default to one window per dp-mesh slice: 8 chips at dp=8 reconstruct
+        # 8 sliding windows in the wall-clock of one (serial on 1 chip)
+        mesh = pipeline.mesh
+        args.batch_windows = (
+            int(mesh.shape.get("dp", 1)) if mesh is not None else 1
+        )
+
     raymap = np.load(args.raymap_action) if args.raymap_action else None
 
     profile_ctx = None
@@ -318,21 +327,29 @@ def main(argv=None) -> None:
                 len(video), args.num_frames, args.sliding_window_stride
             )
             if args.batch_windows > 1 and raymap is None:
+                # deferred across batches: batch j+1's compute is enqueued
+                # before batch j's host transfer resolves (same pipelining as
+                # the serial window loop below)
+                deferred = None
                 for i in range(0, len(window_indices), args.batch_windows):
                     chunk = window_indices[i : i + args.batch_windows]
                     stacked = np.stack(
                         [video[s : s + args.num_frames] for s in chunk]
                     )
-                    with stage_timer(f"windows@{chunk[0]}x{len(chunk)}"):
-                        window_results.extend(
-                            pipeline.batch_reconstruct(
-                                stacked, height=args.height, width=args.width,
-                                num_frames=args.num_frames,
-                                num_inference_steps=args.num_inference_steps
-                                or 4,
-                                fps=args.fps, seed=args.seed,
-                            )
+                    with stage_timer(f"dispatch@{chunk[0]}x{len(chunk)}"):
+                        out = pipeline.batch_reconstruct(
+                            stacked, height=args.height, width=args.width,
+                            num_frames=args.num_frames,
+                            num_inference_steps=args.num_inference_steps or 4,
+                            fps=args.fps, seed=args.seed, defer_host=True,
                         )
+                    if deferred is not None:
+                        with stage_timer(f"resolve@{prev_chunk0}"):
+                            window_results.extend(deferred.resolve())
+                    deferred, prev_chunk0 = out, chunk[0]
+                if deferred is not None:
+                    with stage_timer(f"resolve@{prev_chunk0}"):
+                        window_results.extend(deferred.resolve())
             else:
                 # defer_host pipelining: window i+1's compute is enqueued
                 # before window i's host transfer is paid for, so the D2H

@@ -33,10 +33,14 @@ import numpy as np
 
 _INDEX_HTML = """<!doctype html>
 <html><head><title>Aether-TPU</title><style>
-body{font-family:sans-serif;max-width:760px;margin:2em auto;padding:0 1em}
+body{font-family:sans-serif;max-width:900px;margin:2em auto;padding:0 1em}
 fieldset{margin:1em 0;border:1px solid #ccc;border-radius:6px}
 label{display:block;margin:.5em 0}.row{display:flex;gap:1em;flex-wrap:wrap}
 #log{white-space:pre-wrap;background:#f6f6f6;padding:1em;border-radius:6px}
+#progress{background:#eef4ff;padding:.6em 1em;border-radius:6px;margin:.5em 0}
+#bar{height:8px;background:#d0ddff;border-radius:4px;overflow:hidden}
+#bar>div{height:100%;width:0;background:#3b6fe0;transition:width .3s}
+#viewer{width:100%;height:480px;background:#111;border-radius:6px;display:none}
 a{display:block}</style></head><body>
 <h1>Aether-TPU world model</h1>
 <form id="f">
@@ -61,25 +65,141 @@ a{display:block}</style></head><body>
 <label>cfg <input name="cfg" type="number" step="0.5" value="" placeholder="task default" style="width:4em"></label>
 </div></fieldset>
 <button type="submit">Run</button></form>
-<h2>Result</h2><div id="log">idle</div><div id="artifacts"></div>
+<h2>Progress</h2>
+<div id="progress">idle<div id="bar"><div></div></div></div>
+<h2>3D point cloud</h2>
+<label>Frame: <select id="frame_sel"></select></label>
+<canvas id="viewer"></canvas>
+<h2>Artifacts</h2><div id="artifacts"></div>
+<details><summary>raw status</summary><div id="log"></div></details>
 <script>
 fetch('/api/raymaps').then(r=>r.json()).then(names=>{
   const sel=document.querySelector('[name=raymap]');
   names.forEach(n=>{const o=document.createElement('option');o.textContent=n;sel.append(o);});});
+
+// ---- minimal GLB point-cloud viewer (WebGL, zero deps) ----
+let gl=null, prog=null, cloud=null, rot={x:-.4,y:.6}, dist=2.4, center=[0,0,0];
+function initGL(){
+  const c=document.getElementById('viewer');
+  c.style.display='block'; c.width=c.clientWidth; c.height=480;
+  gl=c.getContext('webgl');
+  const vs=`attribute vec3 p;attribute vec3 col;uniform mat4 mvp;
+    varying vec3 vc;void main(){gl_Position=mvp*vec4(p,1.);
+    gl_PointSize=2.0;vc=col;}`;
+  const fs=`precision mediump float;varying vec3 vc;
+    void main(){gl_FragColor=vec4(vc,1.);}`;
+  function sh(t,s){const h=gl.createShader(t);gl.shaderSource(h,s);
+    gl.compileShader(h);return h;}
+  prog=gl.createProgram();
+  gl.attachShader(prog,sh(gl.VERTEX_SHADER,vs));
+  gl.attachShader(prog,sh(gl.FRAGMENT_SHADER,fs));
+  gl.linkProgram(prog); gl.useProgram(prog); gl.enable(gl.DEPTH_TEST);
+  let drag=false,lx=0,ly=0;
+  c.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY;};
+  window.onmouseup=()=>drag=false;
+  window.onmousemove=e=>{if(!drag)return;
+    rot.y+=(e.clientX-lx)*.008; rot.x+=(e.clientY-ly)*.008;
+    lx=e.clientX; ly=e.clientY; draw();};
+  c.onwheel=e=>{e.preventDefault();dist*=Math.exp(e.deltaY*.001);draw();};
+}
+function mat(){
+  const a=gl.canvas.width/gl.canvas.height, f=1.6, n=.01, fa=100;
+  const cx=Math.cos(rot.x),sx=Math.sin(rot.x),cy=Math.cos(rot.y),sy=Math.sin(rot.y);
+  // row-major compose: persp * translate(0,0,-dist) * rotX * rotY * translate(-center)
+  const R=[[cy,0,sy],[sx*sy,cx,-sx*cy],[-cx*sy,sx,cx*cy]];
+  const m=new Float32Array(16);
+  for(let i=0;i<3;i++){const r=R[i];
+    m[i]=r[0]; m[4+i]=r[1]; m[8+i]=r[2];
+    m[12+i]=-(r[0]*center[0]+r[1]*center[1]+r[2]*center[2]);}
+  m[14]-=dist; m[15]=1;
+  const p=new Float32Array(16);
+  p[0]=f/a;p[5]=f;p[10]=(fa+n)/(n-fa);p[11]=-1;p[14]=2*fa*n/(n-fa);
+  const o=new Float32Array(16);
+  for(let c_=0;c_<4;c_++)for(let r_=0;r_<4;r_++){let s=0;
+    for(let k=0;k<4;k++)s+=p[k*4+r_]*m[c_*4+k]; o[c_*4+r_]=s;}
+  return o;
+}
+function draw(){
+  if(!gl||!cloud)return;
+  gl.viewport(0,0,gl.canvas.width,gl.canvas.height);
+  gl.clearColor(.07,.07,.09,1); gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
+  gl.uniformMatrix4fv(gl.getUniformLocation(prog,'mvp'),false,mat());
+  gl.drawArrays(gl.POINTS,0,cloud.count);
+}
+async function showGLB(url){
+  if(!gl)initGL();
+  const buf=await (await fetch(url)).arrayBuffer();
+  const dv=new DataView(buf);
+  if(dv.getUint32(0,true)!==0x46546C67){console.error('not glb');return;}
+  let off=12, json=null, bin=null;
+  while(off<buf.byteLength){
+    const len=dv.getUint32(off,true), type=dv.getUint32(off+4,true);
+    const data=buf.slice(off+8,off+8+len);
+    if(type===0x4E4F534A) json=JSON.parse(new TextDecoder().decode(data));
+    else if(type===0x004E4942) bin=data;
+    off+=8+len;
+  }
+  let pts=null;
+  for(const mesh of json.meshes||[])
+    for(const pr of mesh.primitives||[])
+      if(pr.mode===0){pts=pr;break;}
+  if(!pts){console.error('no point primitive');return;}
+  const acc=i=>{const a=json.accessors[i],bv=json.bufferViews[a.bufferView];
+    const o=(bv.byteOffset||0)+(a.byteOffset||0);
+    return a.componentType===5126?new Float32Array(bin,o,a.count*3)
+                                 :new Uint8Array(bin,o,a.count*3);};
+  const pos=acc(pts.attributes.POSITION), col=acc(pts.attributes.COLOR_0);
+  const pa=json.accessors[pts.attributes.POSITION];
+  center=[0,1,2].map(i=>(pa.min[i]+pa.max[i])/2);
+  dist=Math.max(pa.max[0]-pa.min[0],pa.max[1]-pa.min[1],pa.max[2]-pa.min[2])*1.5||2.4;
+  const pb=gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER,pb);
+  gl.bufferData(gl.ARRAY_BUFFER,pos,gl.STATIC_DRAW);
+  const lp=gl.getAttribLocation(prog,'p');
+  gl.enableVertexAttribArray(lp); gl.vertexAttribPointer(lp,3,gl.FLOAT,false,0,0);
+  const cb=gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER,cb);
+  gl.bufferData(gl.ARRAY_BUFFER,col,gl.STATIC_DRAW);
+  const lc=gl.getAttribLocation(prog,'col');
+  gl.enableVertexAttribArray(lc);
+  gl.vertexAttribPointer(lc,3,gl.UNSIGNED_BYTE,true,0,0);
+  cloud={count:pa.count};
+  draw();
+}
+
+function renderProgress(s){
+  const el=document.getElementById('progress');
+  const bar=document.querySelector('#bar>div');
+  if(s.status==='done'){el.firstChild.textContent='done';bar.style.width='100%';return;}
+  if(s.status==='error'){el.firstChild.textContent='error: '+s.error;return;}
+  const p=s.progress||{};
+  let txt=s.status;
+  if(p.detail)txt+=' — '+p.detail;
+  if(p.stage)txt+=' ['+p.stage+']';
+  el.firstChild.textContent=txt;
+  if(p.frac!=null)bar.style.width=Math.round(p.frac*100)+'%';
+}
+
 document.getElementById('f').addEventListener('submit', async ev=>{
   ev.preventDefault();
-  const log=document.getElementById('log'); log.textContent='submitting...';
+  const log=document.getElementById('log');
+  document.getElementById('progress').firstChild.textContent='submitting...';
   const res=await fetch('/api/submit',{method:'POST',body:new FormData(ev.target)});
   const {job_id,error}=await res.json();
-  if(error){log.textContent='error: '+error;return;}
+  if(error){document.getElementById('progress').firstChild.textContent='error: '+error;return;}
   const poll=async()=>{
     const s=await (await fetch('/api/status/'+job_id)).json();
     log.textContent=JSON.stringify(s,null,2);
+    renderProgress(s);
     if(s.status==='done'){
       const div=document.getElementById('artifacts'); div.innerHTML='';
       s.artifacts.forEach(a=>{const l=document.createElement('a');
         l.href=a;l.textContent=a;l.download='';div.append(l);});
-    } else if(s.status!=='error') setTimeout(poll,2000);
+      const glbs=s.artifacts.filter(a=>a.endsWith('.glb'));
+      const sel=document.getElementById('frame_sel'); sel.innerHTML='';
+      glbs.forEach(g=>{const o=document.createElement('option');
+        o.value=g;o.textContent=g.split('/').pop();sel.append(o);});
+      sel.onchange=()=>showGLB(sel.value);
+      if(glbs.length)showGLB(glbs[0]);
+    } else if(s.status!=='error') setTimeout(poll,1000);
   }; poll();});
 </script></body></html>"""
 
@@ -99,7 +219,9 @@ class JobRunner:
 
     def submit(self, params: dict) -> str:
         job_id = uuid.uuid4().hex[:12]
-        entry = {"status": "queued", "params": params, "artifacts": []}
+        entry = {"status": "queued", "params": params, "artifacts": [],
+                 "progress": {"stage": None, "detail": "", "frac": 0.0,
+                              "stages_done": []}}
         try:
             self.jobs[job_id] = entry
             self.queue.put_nowait(job_id)  # raises queue.Full when saturated
@@ -118,21 +240,43 @@ class JobRunner:
         if job is None:
             return None
         return {"status": job["status"], "artifacts": job["artifacts"],
-                "error": job.get("error")}
+                "error": job.get("error"), "progress": job.get("progress")}
 
     def _worker(self) -> None:
+        from aether_tpu.utils.profiling import (
+            add_stage_listener,
+            remove_stage_listener,
+        )
+
         while True:
             job_id = self.queue.get()
             job = self.jobs[job_id]
             job["status"] = "running"
+            prog = job["progress"]
+
+            # live per-stage progress: the pipeline's stage_timer marks
+            # vae_encode / denoise / vae_decode boundaries (reference gradio
+            # staged gr.Progress, demo_gradio.py:490,507,536)
+            def on_stage(name, event, seconds, _p=prog):
+                if event == "begin":
+                    _p["stage"] = name
+                else:
+                    _p["stage"] = None
+                    _p["stages_done"].append(
+                        {"stage": name, "seconds": round(seconds, 3)}
+                    )
+
+            add_stage_listener(on_stage)
             try:
                 job["artifacts"] = self._run(job_id, job["params"])
                 job["status"] = "done"
+                prog["frac"] = 1.0
             except Exception as exc:
                 job["status"] = "error"
                 job["error"] = f"{exc}"
                 job["trace"] = traceback.format_exc()
             finally:
+                remove_stage_listener(on_stage)
                 job["params"] = None  # drop the pixel arrays once finished
 
     def _run(self, job_id: str, params: dict) -> list:
@@ -145,6 +289,7 @@ class JobRunner:
         task = params["task"]
         job_dir = os.path.join(self.output_dir, job_id)
         os.makedirs(job_dir, exist_ok=True)
+        prog = self.jobs[job_id]["progress"]
 
         height = params.get("height", 480)
         width = params.get("width", 720)
@@ -174,7 +319,10 @@ class JobRunner:
             window_results, window_indices = [], get_window_starts(
                 len(video), num_frames, stride
             )
-            for start in window_indices:
+            n_windows = len(window_indices)
+            for i, start in enumerate(window_indices):
+                prog["detail"] = f"window {i + 1}/{n_windows}"
+                prog["frac"] = 0.9 * i / n_windows
                 out = self.pipeline(
                     task=task, video=video[start : start + num_frames],
                     raymap=raymap[start : start + num_frames]
@@ -184,12 +332,15 @@ class JobRunner:
                     use_dynamic_cfg=False, seed=42,
                 )
                 window_results.append(out)
+            prog["detail"], prog["frac"] = "blending windows", 0.9
             rgb, disparity, poses, pointmaps = blend_and_merge_window_results(
                 window_results, window_indices, height, width,
             )
+            prog["detail"], prog["frac"] = "exporting artifacts", 0.95
             written = save_output(rgb, disparity, ns, poses=poses,
                                   pointmap=pointmaps)
         else:
+            prog["detail"], prog["frac"] = "sampling", 0.1
             out = self.pipeline(
                 task=task, image=params["image_array"],
                 goal=params.get("goal_array"), raymap=raymap,
@@ -197,12 +348,14 @@ class JobRunner:
                 num_inference_steps=steps, guidance_scale=cfg,
                 use_dynamic_cfg=True, seed=42,
             )
+            prog["detail"], prog["frac"] = "post-reconstruction", 0.7
             recon = self.pipeline(  # post-reconstruction refinement
                 task="reconstruction", video=out.rgb, height=height,
                 width=width, num_frames=num_frames, fps=fps,
                 num_inference_steps=4, guidance_scale=1.0,
                 use_dynamic_cfg=False, seed=42,
             )
+            prog["detail"], prog["frac"] = "exporting artifacts", 0.95
             written = save_output(out.rgb, recon.disparity, ns,
                                   raymap=recon.raymap)
 

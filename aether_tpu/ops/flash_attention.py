@@ -62,19 +62,32 @@ def _flash_kernel(
     v_ref,
     o_ref,
     m_scratch,
-    l_scratch,
     acc_scratch,
     *,
     kv_len: int,
     block_k: int,
     num_kv_blocks: int,
+    dim: int,
 ):
+    """Online-softmax attention cell.
+
+    VPU-lean design (the MXU matmuls at head_dim 64 run at 50% lane
+    utilization, so every elementwise pass over the (block_q, block_k) scores
+    is on the critical path):
+    - the softmax DENOMINATOR rides the PV matmul: v carries a ones column at
+      lane ``dim`` (see caller), so ``p @ v_ext`` yields [o | sum(p)] in one
+      MXU pass — the wasted N-lanes pay for it, and the separate l-scratch +
+      VPU sum-reduce pass disappear. The l column obeys the same
+      ``acc*alpha + new`` rescale recurrence as o.
+    - padded kv positions exist only in the LAST kv block, so the iota+select
+      masking pass is predicated on ``kv_idx == last`` instead of running on
+      every cell.
+    """
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
-        l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     q = q_ref[...]  # (hper, block_q, d), pre-scaled by sm_scale*log2(e)
@@ -87,38 +100,39 @@ def _flash_kernel(
         preferred_element_type=jnp.float32,
     )  # (hper, block_q, block_k), log2-domain scores
 
-    # Mask out padded kv positions (no-op when nothing is padded).
+    # Mask out padded kv positions — they live only in the last kv block.
     if kv_len < num_kv_blocks * block_k:
-        col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        def _masked(s):
+            col = (kv_idx * block_k
+                   + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2))
+            return jnp.where(col < kv_len, s, _NEG_INF)
+
+        s = jax.lax.cond(kv_idx == num_kv_blocks - 1, _masked,
+                         lambda s: s, s)
 
     m_prev = m_scratch[...]  # (hper, block_q, 128) lane-replicated
-    l_prev = l_scratch[...]
-
     m_curr = jnp.max(s, axis=2, keepdims=True)  # (hper, block_q, 1)
     m_next = jnp.maximum(m_prev, m_curr)  # (hper, block_q, 128)
     alpha = jnp.exp2(m_prev - m_next)
+    m_scratch[...] = m_next
 
     p = jnp.exp2(s - m_next[:, :, :1])  # (hper, block_q, block_k)
-    l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
 
-    m_scratch[...] = m_next
-    l_scratch[...] = l_next
-
-    v = v_ref[...]  # (hper, block_k, d)
+    v = v_ref[...]  # (hper, block_k, d+1): real v | ones column
     o_curr = jax.lax.dot_general(
         p.astype(v.dtype),
         v,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (hper, block_q, d)
+    )  # (hper, block_q, d+1): [weighted v | sum(p)]
     acc_scratch[...] = acc_scratch[...] * alpha[:, :, :1] + o_curr
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
-        l_final = l_scratch[...][:, :, :1]
+        acc = acc_scratch[...]
+        l_final = acc[:, :, dim : dim + 1]
         l_inv = jnp.where(l_final <= 0.0, 1.0, 1.0 / l_final)
-        o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        o_ref[...] = (acc[:, :, :dim] * l_inv).astype(o_ref.dtype)
 
 
 def _vmem_limit_bytes(
@@ -213,7 +227,15 @@ def flash_attention(
 
     qp = _pad(q).reshape(bh, seq_pad, dim)
     kp = _pad(k).reshape(bh, seq_pad, dim)
-    vp = _pad(v).reshape(bh, seq_pad, dim)
+    # ones column at lane `dim`: the PV matmul then emits [o | sum(p)] in the
+    # same MXU pass (N = dim+1 <= 128 costs nothing extra at head_dim 64) —
+    # see _flash_kernel. Padded kv rows carry ones too, but their p is exactly
+    # 0 (masked to _NEG_INF -> exp2 underflows), so they add nothing to l.
+    vp = jnp.concatenate(
+        [_pad(v).reshape(bh, seq_pad, dim),
+         jnp.ones((bh, seq_pad, 1), v.dtype)], axis=-1
+    )
+    dim_v = dim + 1
 
     num_q_blocks = seq_pad // block_q
     num_kv_blocks = seq_pad // block_k
@@ -223,6 +245,7 @@ def flash_attention(
         kv_len=seq,
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
+        dim=dim,
     )
 
     out = pl.pallas_call(
@@ -232,14 +255,13 @@ def flash_attention(
         in_specs=[
             pl.BlockSpec((hper, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((hper, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((hper, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((hper, block_k, dim_v), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=pl.BlockSpec((hper, block_q, dim),
                                lambda b, qi, ki: (b, qi, 0)),
         scratch_shapes=[
             pltpu.VMEM((hper, block_q, 128), jnp.float32),
-            pltpu.VMEM((hper, block_q, 128), jnp.float32),
-            pltpu.VMEM((hper, block_q, dim), jnp.float32),
+            pltpu.VMEM((hper, block_q, dim_v), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

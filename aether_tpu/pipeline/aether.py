@@ -57,18 +57,32 @@ class AetherPipelineOutput:
 class DeferredOutput:
     """Pipeline output whose device->host transfer has been *started* but not
     yet paid for. ``resolve()`` blocks on the in-flight copies and returns the
-    :class:`AetherPipelineOutput`. Lets a sliding-window loop enqueue window
-    i+1's compute while window i's outputs ride the D2H link."""
+    :class:`AetherPipelineOutput` (or list of them, for batched calls). Lets a
+    sliding-window loop enqueue window i+1's compute while window i's outputs
+    ride the D2H link."""
 
     def __init__(self, resolve_fn):
         self._resolve_fn = resolve_fn
-        self._result: Optional[AetherPipelineOutput] = None
+        self._result = None
 
-    def resolve(self) -> AetherPipelineOutput:
+    def resolve(self):
         if self._result is None:
             self._result = self._resolve_fn()
             self._resolve_fn = None
         return self._result
+
+
+def _start_pull(arr):
+    """Drain pending device work, then start the async D2H copy.
+
+    Draining first matters on tunneled devices: pulling buffers with deep
+    pending work exhausts the remote runtime's transfer resources."""
+    arr.block_until_ready()
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:
+        pass
+    return arr
 
 
 def dynamic_cfg_schedule(
@@ -347,29 +361,27 @@ def _encode_pixels(
     return _finish_encode(config, dtype, mean, logvar, key)
 
 
-def _encode_pixels_tiled(
+def _tiled_moments(
     config: PipelineConfig,
     dtype,
     vae_params: Dict[str, Any],
-    frames: jnp.ndarray,  # (F, H, W, 3) in [-1, 1]
-    key: Optional[jax.Array],
-    frame_batch_size: Optional[int] = None,
-    tile_latent: Tuple[int, int] = (32, 90),
-    min_overlap: Tuple[int, int] = (4, 6),
-) -> jnp.ndarray:
-    """Spatially-tiled encode: per-tile moment encode, latent-space feathered
-    seams, ONE posterior draw over the blended moments (so the noise stream
-    matches the untiled path). Cuts encoder workspace ~4x — needed when the
-    10.4 GB DiT shares HBM (the reference's ``vae.enable_tiling()``)."""
+    video: jnp.ndarray,  # (B, F, H, W, 3) in [-1, 1]
+    frame_batch_size: Optional[int],
+    tile_latent: Tuple[int, int],
+    min_overlap: Tuple[int, int],
+) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Spatially-tiled moment encode with latent-space feathered seams.
+
+    Batch-agnostic (the window batch rides the VAE's batch axis — and the
+    mesh's 'dp' axis when sharded). Returns channels-last (mean, logvar) or
+    None when a single tile covers the frame (caller falls back untiled)."""
     s = config.vae_scale_factor_spatial
-    h, w = frames.shape[1:3]
+    h, w = video.shape[2:4]
     row_spans = _tile_spans(h // s, tile_latent[0], min_overlap[0])
     col_spans = _tile_spans(w // s, tile_latent[1], min_overlap[1])
     if len(row_spans) == 1 and len(col_spans) == 1:
-        return _encode_pixels(config, dtype, vae_params, frames, key,
-                              frame_batch_size)
+        return None
 
-    video = frames[None]
     merged = None  # (mean, logvar), channels-last, latent h/w at axes 2/3
     rows_prev_end = 0
     for r0, r1 in row_spans:
@@ -396,7 +408,72 @@ def _encode_pixels_tiled(
                 for a, b in zip(merged, row)
             )
         rows_prev_end = r1
+    return merged
+
+
+def _encode_pixels_tiled(
+    config: PipelineConfig,
+    dtype,
+    vae_params: Dict[str, Any],
+    frames: jnp.ndarray,  # (F, H, W, 3) in [-1, 1]
+    key: Optional[jax.Array],
+    frame_batch_size: Optional[int] = None,
+    tile_latent: Tuple[int, int] = (32, 90),
+    min_overlap: Tuple[int, int] = (4, 6),
+) -> jnp.ndarray:
+    """Spatially-tiled encode: per-tile moment encode, latent-space feathered
+    seams, ONE posterior draw over the blended moments (so the noise stream
+    matches the untiled path). Cuts encoder workspace ~4x — needed when the
+    10.4 GB DiT shares HBM (the reference's ``vae.enable_tiling()``)."""
+    merged = _tiled_moments(config, dtype, vae_params, frames[None],
+                            frame_batch_size, tile_latent, min_overlap)
+    if merged is None:
+        return _encode_pixels(config, dtype, vae_params, frames, key,
+                              frame_batch_size)
     return _finish_encode(config, dtype, merged[0], merged[1], key)
+
+
+def _encode_pixels_tiled_batch(
+    config: PipelineConfig,
+    dtype,
+    vae_params: Dict[str, Any],
+    video: jnp.ndarray,  # (B, F, H, W, 3) in [-1, 1]
+    keys: Optional[list],  # per-window PRNG keys (len B) or None
+    frame_batch_size: Optional[int] = None,
+    tile_latent: Tuple[int, int] = (32, 90),
+    min_overlap: Tuple[int, int] = (4, 6),
+) -> jnp.ndarray:
+    """Batched-window tiled encode: B windows ride the VAE batch axis through
+    ONE graph per tile instead of a per-window Python loop (the whole batch
+    shards over 'dp' under a mesh). The posterior draw uses one key per window
+    so the noise stream matches the serial per-window path exactly."""
+    merged = _tiled_moments(config, dtype, vae_params, video,
+                            frame_batch_size, tile_latent, min_overlap)
+    if merged is None:
+        merged = _encode_moments_chunked(config, dtype, vae_params, video,
+                                         frame_batch_size)
+    return _finish_encode_keys(config, dtype, merged[0], merged[1], keys)
+
+
+def _finish_encode_keys(
+    config: PipelineConfig, dtype, mean: jnp.ndarray, logvar: jnp.ndarray,
+    keys: Optional[list],
+) -> jnp.ndarray:
+    """Posterior sample with ONE PRNG key per batch element (window), so a
+    batched encode reproduces the serial per-window noise stream exactly."""
+    if keys is None:
+        return _finish_encode(config, dtype, mean, logvar, None)
+    per_window = (1,) + tuple(mean.shape[1:])
+    noise = jnp.concatenate(
+        [jax.random.normal(k, per_window, jnp.float32) for k in keys], axis=0
+    )
+    logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
+    lat = mean.astype(jnp.float32) + jnp.exp(0.5 * logvar) * noise
+    lat = jnp.moveaxis(lat, -1, 2)  # (B, F_lat, C, h, w)
+    scale = config.vae.scaling_factor
+    if config.vae.invert_scale_latents:
+        return (lat / scale).astype(dtype)
+    return (lat * scale).astype(dtype)
 
 
 def _tile_spans(n: int, tile: int, min_overlap: int) -> list:
@@ -440,6 +517,51 @@ def _feather(prev: jnp.ndarray, curr: jnp.ndarray, prev_end: int,
     )
 
 
+# Adaptive full-strip decode state: None = untried, True = works on this
+# runtime, False = allocation failed once -> permanently chunked this process.
+_FULL_STRIP_STATE: Dict[str, Optional[bool]] = {"ok": None}
+
+
+def _full_strip_enabled() -> bool:
+    """Opt-in via AETHER_FULL_STRIP_DECODE=1.
+
+    Whole-clip strips measured ~20% faster than 2-frame chunks (3.06 vs
+    3.97 s at 41f x 480p) but their multi-GB workspace can exhaust HBM beside
+    the fp8 DiT. On a healthy runtime the failure is a catchable
+    RESOURCE_EXHAUSTED and we fall back to chunking; the tunneled bench chip
+    however wedges PERMANENTLY on any allocation failure (BASELINE.md), so
+    the adaptive try must stay opt-in rather than default.
+    """
+    import os
+
+    return os.environ.get("AETHER_FULL_STRIP_DECODE", "0") == "1"
+
+
+def _decode_strip_adaptive(
+    config: PipelineConfig,
+    dtype,
+    vae_params: Dict[str, Any],
+    latents_16: jnp.ndarray,
+    frame_batch_size: Optional[int],
+) -> jnp.ndarray:
+    """Try the whole-clip strip decode once; fall back to chunked on
+    allocation failure and remember the verdict for the process lifetime."""
+    if _full_strip_enabled() and _FULL_STRIP_STATE["ok"] is not False:
+        try:
+            out = _decode_pixels(config, dtype, vae_params, latents_16, None)
+            out.block_until_ready()
+            _FULL_STRIP_STATE["ok"] = True
+            return out
+        except Exception as e:  # jaxlib.xla_extension.XlaRuntimeError
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                _FULL_STRIP_STATE["ok"] = False
+            else:
+                raise
+    return _decode_pixels(config, dtype, vae_params, latents_16,
+                          frame_batch_size)
+
+
 def _decode_pixels_tiled(
     config: PipelineConfig,
     dtype,
@@ -478,7 +600,7 @@ def _decode_pixels_tiled(
         merged = None
         prev_end = 0
         for c0, c1 in col_spans:
-            tile = _decode_pixels(
+            tile = _decode_strip_adaptive(
                 config, dtype, vae_params, latents_16[:, :, :, r0:r1, c0:c1],
                 frame_batch_size,
             )
@@ -843,21 +965,25 @@ class AetherPipeline:
                 return _yuv420_to_unit(*_rgb_u8_to_yuv420_host(px_u8), dtype)
             return _u8_to_unit(px_u8, dtype)
 
-        if task == "reconstruction":
-            condition = encode(cfgd, dtype, self.vae_params,
-                               upload(pixels), key_vae)
-        elif task == "prediction":
-            img_lat = encode(cfgd, dtype, self.vae_params,
-                             upload(pixels), key_vae)
-            padding = jnp.zeros((1, f_lat - 1, lat_c, h_lat, w_lat), dtype)
-            condition = jnp.concatenate([img_lat, padding], axis=1)
-        else:  # planning
-            img_lat = encode(cfgd, dtype, self.vae_params,
-                             upload(pixels), key_vae)
-            goal_lat = encode(cfgd, dtype, self.vae_params,
-                              upload(goal_pixels), key_goal)
-            padding = jnp.zeros((1, f_lat - 2, lat_c, h_lat, w_lat), dtype)
-            condition = jnp.concatenate([img_lat, padding, goal_lat], axis=1)
+        from aether_tpu.utils.profiling import stage_timer
+
+        with stage_timer("vae_encode", log=False):
+            if task == "reconstruction":
+                condition = encode(cfgd, dtype, self.vae_params,
+                                   upload(pixels), key_vae)
+            elif task == "prediction":
+                img_lat = encode(cfgd, dtype, self.vae_params,
+                                 upload(pixels), key_vae)
+                padding = jnp.zeros((1, f_lat - 1, lat_c, h_lat, w_lat), dtype)
+                condition = jnp.concatenate([img_lat, padding], axis=1)
+            else:  # planning
+                img_lat = encode(cfgd, dtype, self.vae_params,
+                                 upload(pixels), key_vae)
+                goal_lat = encode(cfgd, dtype, self.vae_params,
+                                  upload(goal_pixels), key_goal)
+                padding = jnp.zeros((1, f_lat - 2, lat_c, h_lat, w_lat), dtype)
+                condition = jnp.concatenate([img_lat, padding, goal_lat],
+                                            axis=1)
 
         if raymap_arr is not None:
             camera = pack_raymap(raymap_arr[None].astype(dtype))
@@ -869,7 +995,9 @@ class AetherPipeline:
         import contextlib
 
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
-        with mesh_ctx:
+        # NOTE: _denoise dispatches asynchronously — the timer records enqueue
+        # + any compile, not device latency; listeners use it as a stage marker
+        with mesh_ctx, stage_timer("denoise", log=False):
             latents = _denoise(
                 cfgd, self.attn_impl, dtype, task, do_cfg,
                 self.dit_params, self.empty_prompt_embeds, condition_latents,
@@ -884,18 +1012,10 @@ class AetherPipeline:
         if compact is None:
             compact = jax.default_backend() != "cpu"
 
-        def _start_pull(arr):
-            # drain first: pulling buffers with deep pending work exhausts
-            # the remote runtime's transfer resources on tunneled devices
-            arr.block_until_ready()
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                pass
-            return arr
-
         rgb_mode, disp_mode = self._wire_modes(compact, height, width)
 
+        decode_stage = stage_timer("vae_decode", log=False)
+        decode_stage.__enter__()
         rgb = decode(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
         packed = _finish_rgb(rgb, rgb_mode)
         rgb_wire = None
@@ -921,6 +1041,8 @@ class AetherPipeline:
                 latents[:, :, 2 * lat_c :].astype(jnp.float32), num_frames
             )[0]
         )
+        decode_stage.__exit__(None, None, None)
+
         def _resolve() -> AetherPipelineOutput:
             if rgb_wire is not None:
                 rgb_np = _yuv420_wire_to_rgb(*rgb_wire)
@@ -956,14 +1078,18 @@ class AetherPipeline:
         num_inference_steps: int = 4,
         fps: int = 12,
         seed: int = 0,
-    ) -> list:
+        defer_host: bool = False,
+    ):
         """Reconstruct B windows in ONE batched denoise (BASELINE config #5).
 
         The reference loops windows serially (``demo.py:613-631``); here the
         batch axis rides the mesh's 'dp' axis when a mesh is set, so 8 chips
         reconstruct 8 windows in the wall-clock of one. Returns a list of
         :class:`AetherPipelineOutput`, one per window, ready for
-        :func:`~aether_tpu.pipeline.windowing.blend_and_merge_window_results`.
+        :func:`~aether_tpu.pipeline.windowing.blend_and_merge_window_results`
+        (a :class:`DeferredOutput` resolving to that list when
+        ``defer_host=True`` — lets the caller enqueue the next batch's compute
+        before paying for this batch's host transfer).
         """
         import contextlib
 
@@ -1008,19 +1134,19 @@ class AetherPipeline:
                     self.mesh, jax.sharding.PartitionSpec("dp")
                 ),
             )
+        window_keys = [jax.random.fold_in(key_vae, i) for i in range(bsz)]
         if tiling:
-            # per-window tiled encode (the batched full-frame encoder does not
-            # fit beside the DiT on the 16 GB target chip)
-            conds = [
-                _encode_pixels_tiled(cfg, dtype, self.vae_params, batch[i],
-                                     jax.random.fold_in(key_vae, i))
-                for i in range(bsz)
-            ]
-            condition = jnp.concatenate(conds, axis=0)
+            # batched tiled encode: all windows ride the VAE batch axis
+            # through one graph per tile (dp-sharded under a mesh) — replaces
+            # the old per-window Python loop (VERDICT round 1, item 5b)
+            condition = _encode_pixels_tiled_batch(
+                cfg, dtype, self.vae_params, batch, window_keys
+            )
         else:
             mean, logvar = _encode_moments_chunked(cfg, dtype, self.vae_params,
                                                    batch)
-            condition = _finish_encode(cfg, dtype, mean, logvar, key_vae)
+            condition = _finish_encode_keys(cfg, dtype, mean, logvar,
+                                            window_keys)
         camera = jnp.zeros((bsz, f_lat, 24, h_lat, w_lat), dtype)
         condition_latents = jnp.concatenate([condition, camera], axis=2)
 
@@ -1039,30 +1165,50 @@ class AetherPipeline:
         compact = self.compact_transfer
         if compact is None:
             compact = jax.default_backend() != "cpu"
-
         rgb_mode, disp_mode = self._wire_modes(compact, height, width)
+
+        # same compact-wire + async-pull overlap as the single-window path:
+        # the rgb pull rides the D2H link while the disparity decode computes
+        # (VERDICT round 1, items 5a/7 — the batched path used to pull every
+        # output synchronously in f32)
         rgb = decode(cfg, dtype, self.vae_params, latents[:, :, :lat_c])
         packed = _finish_rgb(rgb, rgb_mode)
+        rgb_wire = None
         if rgb_mode == "yuv420":
-            rgb = _yuv420_wire_to_rgb(*packed)
+            rgb_wire = tuple(_start_pull(p) for p in packed)
+            rgb = None
         else:
-            rgb = np.asarray(packed[0])
-            if rgb_mode == "u8":
-                rgb = rgb.astype(np.float32) / 255.0
+            rgb = _start_pull(packed[0])
+
         disparity = decode(
             cfg, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
         )
         disp_u8 = disp_mode == "u8"
-        disparity = np.asarray(
-            _finish_disparity(disparity, disp_mode)).astype(np.float32)
-        if disp_u8:
-            disparity = np.square(disparity / 255.0)
-        raymap = np.asarray(
+        disparity = _start_pull(_finish_disparity(disparity, disp_mode))
+        raymap = _start_pull(
             unpack_raymap(latents[:, :, 2 * lat_c :].astype(jnp.float32),
                           num_frames)
         )
-        return [
-            AetherPipelineOutput(rgb=rgb[i], disparity=disparity[i],
-                                 raymap=raymap[i])
-            for i in range(bsz)
-        ]
+
+        def _resolve() -> list:
+            if rgb_wire is not None:
+                rgb_np = _yuv420_wire_to_rgb(*rgb_wire)
+            else:
+                rgb_np = np.asarray(rgb)
+                if rgb_mode == "u8":
+                    rgb_np = rgb_np.astype(np.float32) / 255.0
+            disp_np = np.asarray(disparity).astype(np.float32)
+            if disp_u8:
+                disp_np = np.square(disp_np / 255.0)
+            raymap_np = np.asarray(raymap, dtype=np.float32)
+            return [
+                AetherPipelineOutput(
+                    rgb=rgb_np[i].astype(np.float32, copy=False),
+                    disparity=disp_np[i], raymap=raymap_np[i],
+                )
+                for i in range(bsz)
+            ]
+
+        if defer_host:
+            return DeferredOutput(_resolve)
+        return _resolve()

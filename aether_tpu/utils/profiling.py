@@ -19,18 +19,46 @@ logger = logging.getLogger("aether_tpu")
 
 _STAGE_TOTALS: Dict[str, float] = defaultdict(float)
 _STAGE_COUNTS: Dict[str, int] = defaultdict(int)
+_STAGE_LISTENERS: list = []
+
+
+def add_stage_listener(fn) -> None:
+    """Register ``fn(name, event, seconds)`` to observe stage boundaries.
+
+    ``event`` is "begin" (seconds=0.0) or "end" (seconds=elapsed). Lets live
+    front-ends (apps/serve.py) surface per-stage progress without the pipeline
+    knowing about them. Listener exceptions are swallowed — observability must
+    never break the computation."""
+    _STAGE_LISTENERS.append(fn)
+
+
+def remove_stage_listener(fn) -> None:
+    try:
+        _STAGE_LISTENERS.remove(fn)
+    except ValueError:
+        pass
+
+
+def _notify(name: str, event: str, seconds: float) -> None:
+    for fn in list(_STAGE_LISTENERS):
+        try:
+            fn(name, event, seconds)
+        except Exception:  # noqa: BLE001 — see add_stage_listener
+            pass
 
 
 @contextlib.contextmanager
 def stage_timer(name: str, log: bool = True) -> Iterator[None]:
     """Time a host-side stage; accumulates into the global stage report."""
     t0 = time.perf_counter()
+    _notify(name, "begin", 0.0)
     try:
         yield
     finally:
         dt = time.perf_counter() - t0
         _STAGE_TOTALS[name] += dt
         _STAGE_COUNTS[name] += 1
+        _notify(name, "end", dt)
         if log:
             logger.info("stage %s: %.3fs", name, dt)
 

@@ -419,3 +419,99 @@ def test_wire_mode_defaults_are_exact(tiny_pipeline, rng):
     got = compact(**kwargs)
     assert np.max(np.abs(got.rgb - exact.rgb)) <= (0.5 / 255.0) + 1e-6
     assert np.max(np.abs(got.disparity - exact.disparity)) < 2e-3  # fp16 wire
+
+
+def test_batched_tiled_encode_matches_serial():
+    """The batched-window tiled encode (one graph per tile, windows on the VAE
+    batch axis) must reproduce the serial per-window path EXACTLY — same tiles,
+    same feathering, same per-window posterior keys (VERDICT round 1, item 5b)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aether_tpu.config import PipelineConfig
+    from aether_tpu.models import init_vae_params
+    from aether_tpu.pipeline.aether import (
+        _encode_pixels_tiled,
+        _encode_pixels_tiled_batch,
+    )
+
+    cfg = PipelineConfig.tiny()
+    vae = init_vae_params(jax.random.PRNGKey(0), cfg.vae)
+    video = jax.random.uniform(
+        jax.random.PRNGKey(1), (3, 5, 96, 144, 3), jnp.float32, -1, 1
+    )
+    keys = [jax.random.fold_in(jax.random.PRNGKey(7), i) for i in range(3)]
+
+    serial = jnp.concatenate([
+        _encode_pixels_tiled(cfg, jnp.float32, vae, video[i], keys[i],
+                             tile_latent=(8, 10), min_overlap=(4, 4))
+        for i in range(3)
+    ], axis=0)
+    batched = _encode_pixels_tiled_batch(cfg, jnp.float32, vae, video, keys,
+                                         tile_latent=(8, 10),
+                                         min_overlap=(4, 4))
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(serial),
+                               atol=1e-5)
+
+
+def test_batch_reconstruct_defer_host(tiny_pipeline, rng):
+    """batch_reconstruct(defer_host=True) resolves to the same outputs as the
+    synchronous call."""
+    video = (rng.uniform(0, 1, (25, 64, 96, 3)) * 255).astype(np.uint8)
+    windows = np.stack([video[0:17], video[8:25]])
+    sync = tiny_pipeline.batch_reconstruct(
+        windows, height=64, width=96, num_frames=17, num_inference_steps=1,
+        fps=12, seed=3)
+    deferred = tiny_pipeline.batch_reconstruct(
+        windows, height=64, width=96, num_frames=17, num_inference_steps=1,
+        fps=12, seed=3, defer_host=True)
+    resolved = deferred.resolve()
+    assert len(resolved) == len(sync) == 2
+    for a, b in zip(resolved, sync):
+        np.testing.assert_array_equal(a.rgb, b.rgb)
+        np.testing.assert_array_equal(a.disparity, b.disparity)
+        np.testing.assert_array_equal(a.raymap, b.raymap)
+
+
+def test_adaptive_full_strip_decode(monkeypatch):
+    """AETHER_FULL_STRIP_DECODE=1 tries the whole-clip strip decode and
+    permanently falls back to chunking after one allocation failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from aether_tpu.config import PipelineConfig
+    from aether_tpu.models import init_vae_params
+    from aether_tpu.pipeline import aether as A
+
+    cfg = PipelineConfig.tiny()
+    vae = init_vae_params(jax.random.PRNGKey(0), cfg.vae)
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 16, 8, 12), jnp.float32)
+
+    chunked = A._decode_pixels(cfg, jnp.float32, vae, z, 2)
+
+    # flag off: adaptive is a no-op passthrough to the chunked path
+    monkeypatch.delenv("AETHER_FULL_STRIP_DECODE", raising=False)
+    monkeypatch.setitem(A._FULL_STRIP_STATE, "ok", None)
+    out = A._decode_strip_adaptive(cfg, jnp.float32, vae, z, 2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(chunked))
+
+    # flag on, healthy runtime: full-strip result (bit-exact == chunked by the
+    # conv-cache equivalence) and the verdict is remembered as True
+    monkeypatch.setenv("AETHER_FULL_STRIP_DECODE", "1")
+    monkeypatch.setitem(A._FULL_STRIP_STATE, "ok", None)
+    out = A._decode_strip_adaptive(cfg, jnp.float32, vae, z, 2)
+    assert A._FULL_STRIP_STATE["ok"] is True
+    np.testing.assert_allclose(np.asarray(out), np.asarray(chunked), atol=1e-5)
+
+    # flag on, allocation failure: falls back to chunking and remembers
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory in hbm")
+
+    monkeypatch.setitem(A._FULL_STRIP_STATE, "ok", None)
+    monkeypatch.setattr(A, "_decode_full", boom)
+    out = A._decode_strip_adaptive(cfg, jnp.float32, vae, z, 2)
+    assert A._FULL_STRIP_STATE["ok"] is False
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(chunked))
+    # second call goes straight to chunked without retrying the strip
+    out2 = A._decode_strip_adaptive(cfg, jnp.float32, vae, z, 2)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(chunked))
