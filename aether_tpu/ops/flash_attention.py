@@ -62,33 +62,38 @@ def _flash_kernel(
     v_ref,
     o_ref,
     m_scratch,
+    l_scratch,
     acc_scratch,
     *,
     kv_len: int,
     block_k: int,
     num_kv_blocks: int,
     dim: int,
+    denom: str,
+    mask_last_only: bool,
 ):
-    """Online-softmax attention cell.
+    """Online-softmax attention cell. Two static tuning knobs:
 
-    VPU-lean design (the MXU matmuls at head_dim 64 run at 50% lane
-    utilization, so every elementwise pass over the (block_q, block_k) scores
-    is on the critical path):
-    - the softmax DENOMINATOR rides the PV matmul: v carries a ones column at
-      lane ``dim`` (see caller), so ``p @ v_ext`` yields [o | sum(p)] in one
-      MXU pass — the wasted N-lanes pay for it, and the separate l-scratch +
-      VPU sum-reduce pass disappear. The l column obeys the same
-      ``acc*alpha + new`` rescale recurrence as o.
-    - padded kv positions exist only in the LAST kv block, so the iota+select
-      masking pass is predicated on ``kv_idx == last`` instead of running on
-      every cell.
+    ``denom="mxu"``: the softmax DENOMINATOR rides the PV matmul — v carries a
+    ones column at lane ``dim`` inside a 128-lane-aligned tile (see caller),
+    so ``p @ v_ext`` yields [o | sum(p)] in one MXU pass (N <= 128 costs the
+    same as N=64) and the separate l-scratch + VPU sum-reduce pass disappear;
+    the l column obeys the same ``acc*alpha + new`` recurrence as o.
+    ``denom="vpu"`` keeps the classic separate l accumulator.
+
+    ``mask_last_only``: padded kv positions exist only in the LAST kv block,
+    so the iota+select masking pass can be predicated on ``kv_idx == last``
+    instead of running on every cell.
     """
     kv_idx = pl.program_id(2)
+    mxu_denom = denom == "mxu"
 
     @pl.when(kv_idx == 0)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
+        if not mxu_denom:
+            l_scratch[...] = jnp.zeros_like(l_scratch)
 
     q = q_ref[...]  # (hper, block_q, d), pre-scaled by sm_scale*log2(e)
     k = k_ref[...]  # (hper, block_k, d)
@@ -100,15 +105,18 @@ def _flash_kernel(
         preferred_element_type=jnp.float32,
     )  # (hper, block_q, block_k), log2-domain scores
 
-    # Mask out padded kv positions — they live only in the last kv block.
+    # Mask out padded kv positions (no-op when nothing is padded).
     if kv_len < num_kv_blocks * block_k:
         def _masked(s):
             col = (kv_idx * block_k
                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2))
             return jnp.where(col < kv_len, s, _NEG_INF)
 
-        s = jax.lax.cond(kv_idx == num_kv_blocks - 1, _masked,
-                         lambda s: s, s)
+        if mask_last_only:
+            s = jax.lax.cond(kv_idx == num_kv_blocks - 1, _masked,
+                             lambda s: s, s)
+        else:
+            s = _masked(s)
 
     m_prev = m_scratch[...]  # (hper, block_q, 128) lane-replicated
     m_curr = jnp.max(s, axis=2, keepdims=True)  # (hper, block_q, 1)
@@ -117,20 +125,26 @@ def _flash_kernel(
     m_scratch[...] = m_next
 
     p = jnp.exp2(s - m_next[:, :, :1])  # (hper, block_q, block_k)
+    if not mxu_denom:
+        l_scratch[...] = alpha * l_scratch[...] + jnp.sum(p, axis=2,
+                                                          keepdims=True)
 
-    v = v_ref[...]  # (hper, block_k, d+1): real v | ones column
+    v = v_ref[...]  # (hper, block_k, d) or 128-lane [v | ones | 0] when mxu
     o_curr = jax.lax.dot_general(
         p.astype(v.dtype),
         v,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (hper, block_q, d+1): [weighted v | sum(p)]
+    )
     acc_scratch[...] = acc_scratch[...] * alpha[:, :, :1] + o_curr
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
         acc = acc_scratch[...]
-        l_final = acc[:, :, dim : dim + 1]
+        if mxu_denom:
+            l_final = acc[:, :, dim : dim + 1]
+        else:
+            l_final = l_scratch[...][:, :, :1]
         l_inv = jnp.where(l_final <= 0.0, 1.0, 1.0 / l_final)
         o_ref[...] = (acc[:, :, :dim] * l_inv).astype(o_ref.dtype)
 
@@ -181,7 +195,7 @@ def _pick_block(seq: int, requested: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_q", "block_k", "heads_per_cell",
-                     "interpret"),
+                     "interpret", "denom", "mask_last_only"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -192,12 +206,15 @@ def flash_attention(
     block_k: int = 1024,
     heads_per_cell: int = 4,
     interpret: bool = False,
+    denom: str = "vpu",
+    mask_last_only: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, S, D]; full (non-causal) attention.
 
     S is padded internally to a block multiple; padded keys are masked and
     padded query rows are sliced away on return. ``heads_per_cell`` is clamped
-    to the largest divisor of B*H not exceeding it.
+    to the largest divisor of B*H not exceeding it. ``denom``/
+    ``mask_last_only`` are kernel tuning knobs (see :func:`_flash_kernel`).
     """
     batch, heads, seq, dim = q.shape
     if sm_scale is None:
@@ -227,15 +244,20 @@ def flash_attention(
 
     qp = _pad(q).reshape(bh, seq_pad, dim)
     kp = _pad(k).reshape(bh, seq_pad, dim)
-    # ones column at lane `dim`: the PV matmul then emits [o | sum(p)] in the
-    # same MXU pass (N = dim+1 <= 128 costs nothing extra at head_dim 64) —
-    # see _flash_kernel. Padded kv rows carry ones too, but their p is exactly
-    # 0 (masked to _NEG_INF -> exp2 underflows), so they add nothing to l.
-    vp = jnp.concatenate(
-        [_pad(v).reshape(bh, seq_pad, dim),
-         jnp.ones((bh, seq_pad, 1), v.dtype)], axis=-1
-    )
-    dim_v = dim + 1
+    vp = _pad(v).reshape(bh, seq_pad, dim)
+    dim_v = dim
+    if denom == "mxu":
+        # [v | ones | zeros] padded to a full 128-lane tile (a dim+1 tile is
+        # catastrophically misaligned: 130-byte rows; measured 2x slowdown).
+        # The PV matmul then emits [o | sum(p)] in the same MXU pass (N <= 128
+        # costs the same as N=64 at head_dim 64). Padded kv rows carry ones
+        # too, but their p is exactly 0 (masked to _NEG_INF -> exp2
+        # underflows), so they add nothing to l.
+        dim_v = 128
+        vp = jnp.concatenate(
+            [vp, jnp.ones((bh, seq_pad, 1), v.dtype),
+             jnp.zeros((bh, seq_pad, dim_v - dim - 1), v.dtype)], axis=-1
+        )
 
     num_q_blocks = seq_pad // block_q
     num_kv_blocks = seq_pad // block_k
@@ -246,6 +268,8 @@ def flash_attention(
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
         dim=dim,
+        denom=denom,
+        mask_last_only=mask_last_only,
     )
 
     out = pl.pallas_call(
@@ -260,6 +284,7 @@ def flash_attention(
         out_specs=pl.BlockSpec((hper, block_q, dim),
                                lambda b, qi, ki: (b, qi, 0)),
         scratch_shapes=[
+            pltpu.VMEM((hper, block_q, 128), jnp.float32),
             pltpu.VMEM((hper, block_q, 128), jnp.float32),
             pltpu.VMEM((hper, block_q, dim_v), jnp.float32),
         ],

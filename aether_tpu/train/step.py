@@ -62,12 +62,19 @@ def diffusion_loss(
     rope_sin: Optional[jnp.ndarray],
     key: jax.Array,
     attn_impl: str = "xla",
+    t: Optional[jnp.ndarray] = None,
+    eps: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """v-prediction MSE at uniformly sampled timesteps."""
+    """v-prediction MSE at uniformly sampled timesteps.
+
+    ``t`` / ``eps`` default to draws from ``key``; passing them explicitly
+    makes the loss deterministic for cross-framework parity tests."""
     b = clean_latents.shape[0]
     key_t, key_eps = jax.random.split(key)
-    t = jax.random.randint(key_t, (b,), 0, sqrt_alphas.shape[0])
-    eps = jax.random.normal(key_eps, clean_latents.shape, jnp.float32)
+    if t is None:
+        t = jax.random.randint(key_t, (b,), 0, sqrt_alphas.shape[0])
+    if eps is None:
+        eps = jax.random.normal(key_eps, clean_latents.shape, jnp.float32)
 
     x0 = clean_latents.astype(jnp.float32)
     a = sqrt_alphas[t][:, None, None, None, None]

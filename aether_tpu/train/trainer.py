@@ -222,6 +222,11 @@ class Trainer:
         save_checkpoint(
             path,
             {"params": self.state.params, "ema_params": self.state.ema_params,
+             # opt_state + PRNG key make restore an EXACT continuation:
+             # without them a "resumed" run silently resets Adam moments and
+             # replays the key stream from step 0
+             "opt_state": self.state.opt_state,
+             "key": np.asarray(self.key),
              "step": np.asarray(step)},
         )
         return path
@@ -243,15 +248,27 @@ class Trainer:
         template = {
             "params": self.state.params,
             "ema_params": self.state.ema_params,
+            "opt_state": self.state.opt_state,
+            "key": np.asarray(self.key),
             "step": np.asarray(0),
         }
-        restored = load_checkpoint(self._ckpt_path(steps[-1]), template)
+        try:
+            restored = load_checkpoint(self._ckpt_path(steps[-1]), template)
+        except Exception:
+            # pre-opt_state checkpoints (older layout): restore what exists
+            template.pop("opt_state")
+            template.pop("key")
+            restored = load_checkpoint(self._ckpt_path(steps[-1]), template)
         self.state = dataclasses.replace(
             self.state,
             step=jnp.asarray(int(restored["step"]), jnp.int32),
             params=restored["params"],
             ema_params=restored["ema_params"],
+            **({"opt_state": restored["opt_state"]}
+               if "opt_state" in restored else {}),
         )
+        if "key" in restored:
+            self.key = jnp.asarray(restored["key"], jnp.uint32)
         return steps[-1]
 
     # -- loop ---------------------------------------------------------------

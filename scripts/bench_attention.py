@@ -55,12 +55,23 @@ def main():
 
     results = {}
     ref_out = None
-    for bq, bk in [(1024, 1024), (1024, 2048), (512, 1024), (1024, 512),
-                   (512, 4096), (256, 4096)]:
-        name = f"ours bq={bq} bk={bk}"
+    variants = [
+        # (block_q, block_k, denom, mask_last_only)
+        (1024, 1024, "vpu", False),   # round-1 baseline behavior
+        (1024, 1024, "vpu", True),
+        (1024, 1024, "mxu", False),
+        (1024, 1024, "mxu", True),
+        (512, 1024, "mxu", True),
+        (1024, 2048, "mxu", True),
+        (512, 1024, "vpu", True),
+        (1024, 512, "vpu", True),
+    ]
+    for bq, bk, denom, mlast in variants:
+        name = f"ours bq={bq} bk={bk} denom={denom} mlast={int(mlast)}"
         try:
-            ms, out = timeit(functools.partial(flash_attention, block_q=bq,
-                                               block_k=bk), q, k, v)
+            ms, out = timeit(functools.partial(
+                flash_attention, block_q=bq, block_k=bk, denom=denom,
+                mask_last_only=mlast), q, k, v)
             results[name] = ms
             if ref_out is None:
                 ref_out = out

@@ -120,3 +120,18 @@ def test_flash_train_gradient_matches_reference():
     for g, gr in zip(grads, grads_ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
                                    atol=5e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("denom,mask_last", [("mxu", False), ("mxu", True),
+                                             ("vpu", True)])
+def test_kernel_variants_match_reference(denom, mask_last):
+    """The denom=mxu (ones-column PV matmul) and mask-last-only tuning knobs
+    must be numerically equivalent to the baseline kernel, including with
+    padded kv positions."""
+    rng = np.random.default_rng(9)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 2, 300, 64)), jnp.float32)
+               for _ in range(3))
+    ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, denom=denom,
+                          mask_last_only=mask_last, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
