@@ -431,8 +431,12 @@ def encode_moments(
     cfg: VAEConfig,
     video: jnp.ndarray,
     cache_in: Optional[Dict[str, jnp.ndarray]] = None,
+    collect: Optional[list] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Encoder trunk: [B, T, H, W, 3] -> (mean, logvar, conv_cache_out)."""
+    """Encoder trunk: [B, T, H, W, 3] -> (mean, logvar, conv_cache_out).
+
+    ``collect``: optional list; appends the activation after every down block
+    and the mid stack — per-stage parity diffing against torch goldens."""
     enc = params["encoder"]
     tcl = cfg.temporal_compress_level
     cache = ConvCache(cache_in)
@@ -443,9 +447,13 @@ def encode_moments(
             x = _resnet3d(x, rp, cfg, cache=cache, path=f"enc/down{i}/res{j}")
         if "downsampler" in block:
             x = _downsample3d(x, block["downsampler"], compress_time=i < tcl)
+        if collect is not None:
+            collect.append(x)
 
     for j, rp in enumerate(enc["mid"]):
         x = _resnet3d(x, rp, cfg, cache=cache, path=f"enc/mid{j}")
+    if collect is not None:
+        collect.append(x)
 
     x = group_norm(x, enc["norm_out_scale"], enc["norm_out_bias"],
                    cfg.norm_num_groups, cfg.norm_eps)
@@ -520,8 +528,12 @@ def decode_frames(
     cfg: VAEConfig,
     latents: jnp.ndarray,
     cache_in: Optional[Dict[str, jnp.ndarray]] = None,
+    collect: Optional[list] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Decoder trunk: [B, T_lat, h, w, C_lat] -> (video, conv_cache_out)."""
+    """Decoder trunk: [B, T_lat, h, w, C_lat] -> (video, conv_cache_out).
+
+    ``collect``: optional list; appends the activation after the mid stack and
+    every up block — per-stage parity diffing against torch goldens."""
     dec = params["decoder"]
     tcl = cfg.temporal_compress_level
     zq = latents
@@ -530,12 +542,16 @@ def decode_frames(
 
     for j, rp in enumerate(dec["mid"]):
         x = _resnet3d(x, rp, cfg, zq=zq, cache=cache, path=f"dec/mid{j}")
+    if collect is not None:
+        collect.append(x)
 
     for i, block in enumerate(dec["up_blocks"]):
         for j, rp in enumerate(block["resnets"]):
             x = _resnet3d(x, rp, cfg, zq=zq, cache=cache, path=f"dec/up{i}/res{j}")
         if "upsampler" in block:
             x = _upsample3d(x, block["upsampler"], compress_time=i < tcl)
+        if collect is not None:
+            collect.append(x)
 
     x = spatial_norm3d(x, zq, dec["norm_out"], cfg.norm_num_groups, cfg.norm_eps)
     x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)

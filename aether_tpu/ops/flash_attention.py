@@ -19,12 +19,22 @@ Design notes (TPU, measured on v5e at the 48-head 15k-token window):
   pass per cell, ~1 ms at this shape — a mask-free variant that zero-pads K/V
   and corrects the softmax denominator at store time measured the same within
   noise, but breaks when every real score underflows exp2 while padding pins
-  the running max at 0, so the robust mask stays).
+  the running max at 0, so the robust mask stays). Predicating the mask on
+  the last kv block via ``lax.cond`` DOUBLES the kernel time on v5e (Mosaic
+  handles the value-returning conditional terribly: 40 -> 79 ms measured) —
+  ``mask_last_only`` stays available but off.
+- the softmax denominator rides the PV matmul by default (``denom="mxu"``):
+  v is packed [v | ones | zeros] into a 128-lane-aligned tile so ``p @ v_ext``
+  emits [o | sum(p)] in one MXU pass — N <= 128 costs the same as N = 64 at
+  head_dim 64, and the separate l-scratch + VPU sum-reduce disappear.
+  Measured 38.2 vs 40.2 ms. A dim+1-lane tile instead of 128 is
+  catastrophically misaligned (130-byte rows, ~2x slower).
 - the scratch needs the per-kernel VMEM limit raised above the 16 MB default
   (hper=4 s/p tiles are 16 MB each in f32).
 - matmuls accumulate in f32 via preferred_element_type; with head_dim 64 both
   MXU matmuls run at 50% lane utilization, so the roofline for this shape is
-  ~2x the bf16 peak-FLOPs time (~28 ms; the kernel runs ~40).
+  ~2x the bf16 peak-FLOPs time (~28 ms; the kernel runs ~38, vs 44.4 for the
+  jax-bundled flash kernel and 47.5 for splash attention at this shape).
 """
 
 from __future__ import annotations
@@ -206,7 +216,7 @@ def flash_attention(
     block_k: int = 1024,
     heads_per_cell: int = 4,
     interpret: bool = False,
-    denom: str = "vpu",
+    denom: str = "mxu",
     mask_last_only: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, S, D]; full (non-causal) attention.
