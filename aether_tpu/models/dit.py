@@ -171,8 +171,8 @@ def quantize_dit_params(params: Params, dtype=None) -> Params:
         dtype, jnp.floating
     ) else float(jnp.iinfo(dtype).max)
 
-    def quant_leaf(leaf):
-        w = jnp.asarray(leaf, jnp.float32)
+    def quant_slice(w):
+        w = jnp.asarray(w, jnp.float32)
         # reduce over the contraction ('in') axis only: stacked block weights
         # (L, in, out) keep per-layer per-column scales (L, out)
         s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / fmax
@@ -182,7 +182,18 @@ def quantize_dit_params(params: Params, dtype=None) -> Params:
             scaled = jnp.round(scaled)  # round-to-nearest, not truncation
         q = scaled.astype(dtype)
         q.block_until_ready()  # materialize before the source leaf frees
-        return {"q": q, "s": jnp.squeeze(s, axis=-2)}
+        return q, jnp.squeeze(s, axis=-2)
+
+    def quant_leaf(leaf):
+        if getattr(leaf, "ndim", 0) >= 3:
+            # stacked block weights: one layer at a time — the whole-leaf f32
+            # temp of e.g. mlp w1 (42, 3072, 12288) is 6.2 GB, which next to
+            # the resident 10.4 GB bf16 tree blows the 16 GB chip (measured
+            # RESOURCE_EXHAUSTED); per-layer slices cap the temp at ~150 MB
+            qs, ss = zip(*(quant_slice(leaf[i]) for i in range(leaf.shape[0])))
+            return {"q": jnp.stack(qs), "s": jnp.stack(ss)}
+        q, s = quant_slice(leaf)
+        return {"q": q, "s": s}
 
     def walk(node):
         if isinstance(node, dict):
