@@ -67,15 +67,19 @@ def main() -> None:
         mark(f"channel warm in {warm_transfer_channel():.1f}s")
 
     key = jax.random.PRNGKey(0)
-    # weight-only fp8 on the accelerator: halves resident DiT bytes (10.4 GB ->
-    # 5.3 GB) and never materializes the bf16 tree, which this chip's memory
-    # budget (16 GB minus the D2H staging reservation) needs
+    # Weight quantization on the accelerator halves resident DiT bytes
+    # (10.4 GB -> 5.3 GB) and never materializes the bf16 tree, which this
+    # chip's memory budget (16 GB minus the D2H staging reservation) needs.
+    # int8 + dynamic activation quantization is the default: the full-config
+    # quality gate (scripts/quant_quality_gate.py, BASELINE.md round 2)
+    # measured int8 weights at 9x LOWER output error than fp8 (cosine
+    # 0.99993 vs 0.99922 vs bf16) with w8a8 adding almost nothing (0.99992),
+    # while the int8 MXU runs 2x the bf16 peak (denoise 2.45 vs 2.67 s/step).
     weights_format = "bf16" if not on_accel else os.environ.get(
-        "AETHER_WEIGHT_QUANT", "fp8"
+        "AETHER_WEIGHT_QUANT", "int8"
     )
-    act_quant = os.environ.get("AETHER_ACT_QUANT", "0") == "1" and on_accel
-    if act_quant:
-        weights_format = "int8"  # the int8 MXU path needs int8 weights
+    act_quant = (os.environ.get("AETHER_ACT_QUANT", "1") == "1" and on_accel
+                 and weights_format == "int8")
     mark(f"init dit params ({weights_format}, act_quant={act_quant})")
     if weights_format in ("fp8", "int8"):
         from aether_tpu.models.dit import init_quantized_dit_params
