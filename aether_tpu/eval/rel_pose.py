@@ -90,16 +90,12 @@ def process_video_with_sliding_window(
     if not t_starts or t_starts[-1] != t - window_frames:
         t_starts.append(t - window_frames)
 
-    windows = []
-    for t_start in t_starts:
-        t_end = t_start + window_frames
-        out = pipeline(
-            task="reconstruction", video=video[t_start:t_end],
-            height=video.shape[1], width=video.shape[2],
-            num_frames=window_frames, fps=fps,
-            num_inference_steps=num_inference_steps,
-            guidance_scale=1.0, use_dynamic_cfg=False, seed=seed,
-        )
+    def _resolve(out):
+        # real pipeline returns a DeferredOutput under defer_host; test stubs
+        # may return the plain output
+        return out.resolve() if hasattr(out, "resolve") else out
+
+    def _window(out, t_start) -> dict:
         pcd = postprocess_pointmap(
             np.asarray(out.disparity), np.asarray(out.raymap),
             vae_downsample_scale=video.shape[1] // out.raymap.shape[-2],
@@ -107,15 +103,31 @@ def process_video_with_sliding_window(
             smooth_camera=True, smooth_method="kalman",
         )
         focals = (pcd["intrinsics"][:, 0, 0] + pcd["intrinsics"][:, 1, 1]) / 2
-        windows.append(
-            {
-                "rgb": np.asarray(out.rgb),
-                "disparity": np.asarray(out.disparity),
-                "poses": np.asarray(pcd["camera_pose"]),
-                "focals": np.asarray(focals),
-                "range": (t_start, t_end),
-            }
+        return {
+            "rgb": np.asarray(out.rgb),
+            "disparity": np.asarray(out.disparity),
+            "poses": np.asarray(pcd["camera_pose"]),
+            "focals": np.asarray(focals),
+            "range": (t_start, t_start + window_frames),
+        }
+
+    # defer_host chaining: window i's D2H transfer AND host-side pointmap
+    # postprocessing (Kalman smoothing, SVD alignment) overlap window i+1's
+    # device compute
+    windows, pending = [], None
+    for t_start in t_starts:
+        out = pipeline(
+            task="reconstruction", video=video[t_start : t_start + window_frames],
+            height=video.shape[1], width=video.shape[2],
+            num_frames=window_frames, fps=fps,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=1.0, use_dynamic_cfg=False, seed=seed,
+            defer_host=True,
         )
+        if pending is not None:
+            windows.append(_window(_resolve(pending[0]), pending[1]))
+        pending = (out, t_start)
+    windows.append(_window(_resolve(pending[0]), pending[1]))
     return blend_window_outputs(windows)
 
 

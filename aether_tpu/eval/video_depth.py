@@ -111,6 +111,88 @@ def _feather_axis(prev: np.ndarray, curr: np.ndarray, prev_end: int,
     return out
 
 
+def _run_window_tile_grid(
+    pipeline,
+    video: np.ndarray,
+    t_starts,
+    spans,
+    is_horizontal: bool,
+    window_frames: int,
+    tile: Tuple[int, int],
+    num_inference_steps: int,
+    seed: int,
+    fps: int,
+    batch_calls: Optional[int],
+) -> dict:
+    """Run the (temporal window x spatial tile) grid of pipeline calls.
+
+    Every clip has the identical (window_frames, tile_h, tile_w) shape, so the
+    grid flattens into uniform batches: with ``batch_calls > 1`` (default: the
+    mesh's dp size) N clips share one batched denoise via
+    ``batch_reconstruct`` — which is bit-identical to the serial per-call path
+    (broadcast noise + shared VAE keys) — and host transfers are deferred so
+    batch j+1's compute overlaps batch j's D2H. Returns {(ti, si): (rgb,
+    disparity)}.
+    """
+    jobs, clips = [], []
+    for ti, t_start in enumerate(t_starts):
+        t_end = t_start + window_frames
+        for si, (start, end) in enumerate(spans):
+            if is_horizontal:
+                clip = video[t_start:t_end, : tile[0], start:end]
+            else:
+                clip = video[t_start:t_end, start:end, : tile[1]]
+            jobs.append((ti, si))
+            clips.append(clip)
+
+    if batch_calls is None:
+        mesh = getattr(pipeline, "mesh", None)
+        batch_calls = int(mesh.shape.get("dp", 1)) if mesh is not None else 1
+    batch_calls = max(1, min(batch_calls, len(clips)))
+
+    results: dict = {}
+    height, width = clips[0].shape[1:3]
+    if batch_calls > 1 and hasattr(pipeline, "batch_reconstruct"):
+        pending = None  # (deferred, job-slice)
+        for i in range(0, len(clips), batch_calls):
+            chunk_jobs = jobs[i : i + batch_calls]
+            out = pipeline.batch_reconstruct(
+                np.stack(clips[i : i + batch_calls]), height=height,
+                width=width, num_frames=window_frames,
+                num_inference_steps=num_inference_steps, fps=fps, seed=seed,
+                defer_host=True,
+            )
+            if pending is not None:
+                for job, o in zip(pending[1], pending[0].resolve()):
+                    results[job] = (np.asarray(o.rgb), np.asarray(o.disparity))
+            pending = (out, chunk_jobs)
+        for job, o in zip(pending[1], pending[0].resolve()):
+            results[job] = (np.asarray(o.rgb), np.asarray(o.disparity))
+    else:
+        def _resolve(out):
+            # pipeline stubs in tests return plain outputs; the real pipeline
+            # returns a DeferredOutput under defer_host
+            return out.resolve() if hasattr(out, "resolve") else out
+
+        pending = None
+        for job, clip in zip(jobs, clips):
+            out = pipeline(
+                task="reconstruction", video=clip, height=height, width=width,
+                num_frames=window_frames, fps=fps,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=1.0, use_dynamic_cfg=False, seed=seed,
+                defer_host=True,
+            )
+            if pending is not None:
+                o = _resolve(pending[0])
+                results[pending[1]] = (np.asarray(o.rgb),
+                                       np.asarray(o.disparity))
+            pending = (out, job)
+        o = _resolve(pending[0])
+        results[pending[1]] = (np.asarray(o.rgb), np.asarray(o.disparity))
+    return results
+
+
 def process_with_sliding_window(
     pipeline,
     video: np.ndarray,  # (T, H, W, 3) in [0, 1]
@@ -121,6 +203,7 @@ def process_with_sliding_window(
     tile: Tuple[int, int] = (480, 720),
     spatial_overlap: Tuple[int, int] = (60, 90),
     fps: int = 12,
+    batch_calls: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """2-D sliding-window inference; returns blended (rgb, disparity)."""
     t, h, w = video.shape[:3]
@@ -134,24 +217,18 @@ def process_with_sliding_window(
     spans, is_horizontal = _spatial_tiles(h, w, tile, spatial_overlap)
     axis_sp = 2 if is_horizontal else 1  # (T, H, W) axis being tiled
 
+    results = _run_window_tile_grid(
+        pipeline, video, t_starts, spans, is_horizontal, window_frames, tile,
+        num_inference_steps, seed, fps, batch_calls,
+    )
+
     temporal_rgb, temporal_disp, temporal_ranges = [], [], []
-    for t_start in t_starts:
+    for ti, t_start in enumerate(t_starts):
         t_end = t_start + window_frames
         tile_rgb, tile_disp = None, None
         prev_end = 0
-        for start, end in spans:
-            if is_horizontal:
-                clip = video[t_start:t_end, : tile[0], start:end]
-            else:
-                clip = video[t_start:t_end, start:end, : tile[1]]
-            out = pipeline(
-                task="reconstruction", video=clip,
-                height=clip.shape[1], width=clip.shape[2],
-                num_frames=window_frames, fps=fps,
-                num_inference_steps=num_inference_steps,
-                guidance_scale=1.0, use_dynamic_cfg=False, seed=seed,
-            )
-            rgb, disp = np.asarray(out.rgb), np.asarray(out.disparity)
+        for si, (start, end) in enumerate(spans):
+            rgb, disp = results[(ti, si)]
             if tile_rgb is None:
                 tile_rgb, tile_disp = rgb, disp
             else:

@@ -659,7 +659,7 @@ def _decode_pixels(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "attn_impl", "compute_dtype", "task", "do_cfg",
-                     "act_quant", "mesh"),
+                     "act_quant", "mesh", "broadcast_noise"),
 )
 def _denoise(
     config: PipelineConfig,
@@ -677,17 +677,27 @@ def _denoise(
     key: jax.Array,
     act_quant: bool = False,
     mesh=None,
+    broadcast_noise: bool = False,
 ) -> jnp.ndarray:
-    """The jitted denoise loop; returns final (1, F_lat, 56, h, w) latents."""
+    """The jitted denoise loop; returns final (1, F_lat, 56, h, w) latents.
+
+    ``broadcast_noise``: draw the init/SDE noise once and broadcast it over
+    the batch. A serial loop seeded identically gives every window the SAME
+    noise stream (the reference re-seeds its generator per call,
+    ``demo.py:42-49``), so the batched multi-window path uses this to be
+    bit-identical to — and composition-invariant with — the serial path.
+    """
     cfg = config
     dtype = compute_dtype
     lat_c = cfg.vae.latent_channels
     b, f_lat, _, h_lat, w_lat = condition_latents.shape
 
     key_noise, key_sde = jax.random.split(key)
-    latents = (
-        jax.random.normal(key_noise, (b, f_lat, 56, h_lat, w_lat), jnp.float32)
-        * plan.init_noise_sigma
+    noise_b = 1 if broadcast_noise else b
+    latents = jnp.broadcast_to(
+        jax.random.normal(key_noise, (noise_b, f_lat, 56, h_lat, w_lat),
+                          jnp.float32) * plan.init_noise_sigma,
+        (b, f_lat, 56, h_lat, w_lat),
     ).astype(dtype)
 
     # CFG uncond masking (pipeline:839-855)
@@ -721,8 +731,10 @@ def _denoise(
         if do_cfg:
             uncond_pred, cond_pred = jnp.split(noise_pred, 2, axis=0)
             noise_pred = uncond_pred + guidance[i] * (cond_pred - uncond_pred)
-        sde_noise = jax.random.normal(
-            jax.random.fold_in(key_sde, i), lat.shape, jnp.float32
+        sde_noise = jnp.broadcast_to(
+            jax.random.normal(jax.random.fold_in(key_sde, i),
+                              (noise_b,) + lat.shape[1:], jnp.float32),
+            lat.shape,
         )
         new_lat, x0 = dpm_step(plan, i, lat.astype(jnp.float32), noise_pred,
                                old_x0, sde_noise)
@@ -1116,8 +1128,12 @@ class AetherPipeline:
             vae_scale_factor_spatial=cfg.vae_scale_factor_spatial,
             base_fps=cfg.base_fps, fps=fps,
         )
+        # same key derivation as __call__ so the batched path reproduces a
+        # serial per-window loop (which passes the same seed to every window,
+        # reference demo.py:42-49) bit-for-bit: every window gets the SAME
+        # key_vae / key_denoise, and broadcast_noise shares the noise draws
         key = jax.random.PRNGKey(seed)
-        key_vae, key_denoise = jax.random.split(key)
+        key_vae, _key_goal, key_denoise = jax.random.split(key, 3)
 
         tiling = self.vae_tiling
         if tiling is None:
@@ -1134,7 +1150,7 @@ class AetherPipeline:
                     self.mesh, jax.sharding.PartitionSpec("dp")
                 ),
             )
-        window_keys = [jax.random.fold_in(key_vae, i) for i in range(bsz)]
+        window_keys = [key_vae] * bsz
         if tiling:
             # batched tiled encode: all windows ride the VAE batch axis
             # through one graph per tile (dp-sharded under a mesh) — replaces
@@ -1158,6 +1174,7 @@ class AetherPipeline:
                 plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
                 jnp.asarray(rope_sin), key_denoise,
                 act_quant=self.act_quant, mesh=self.mesh,
+                broadcast_noise=True,
             )
 
         lat_c = cfg.vae.latent_channels

@@ -169,6 +169,20 @@ def main() -> None:
             print(f"alt-wire run failed: {type(exc).__name__}",
                   file=sys.stderr)
 
+    # ---- sub-metrics on the staged internals (best-effort: a contended
+    # remote chip must not zero out the headline metric) ----
+    vae_encode_s = denoise_s = vae_decode_s = float("nan")
+    try:
+        _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
+                          video, height, width, num_frames, steps)
+    except Exception as exc:
+        print(f"sub-metrics failed: {type(exc).__name__}", file=sys.stderr)
+    else:
+        vae_encode_s, denoise_s, vae_decode_s = _SUB[:]
+
+    # (prediction runs LAST: a 50-step CFG-pair run once wedged the
+    # tunneled chip and nulled every later metric; the cheap sub-metrics
+    # now bank first)
     # ---- prediction task (CFG-batched denoise, dynamic CFG, raymap action):
     # the reference's second headline config (50 steps, pipeline:257-271).
     # Steps overridable for quick runs; best-effort so a contended chip can't
@@ -194,17 +208,6 @@ def main() -> None:
     except Exception as exc:
         print(f"prediction bench failed: {type(exc).__name__}",
               file=sys.stderr)
-
-    # ---- sub-metrics on the staged internals (best-effort: a contended
-    # remote chip must not zero out the headline metric) ----
-    vae_encode_s = denoise_s = vae_decode_s = float("nan")
-    try:
-        _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
-                          video, height, width, num_frames, steps)
-    except Exception as exc:
-        print(f"sub-metrics failed: {type(exc).__name__}", file=sys.stderr)
-    else:
-        vae_encode_s, denoise_s, vae_decode_s = _SUB[:]
 
     result = {
         "metric": "e2e_seconds_per_41f_480p_window",
@@ -322,10 +325,19 @@ def _main_with_process_retry() -> int:
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True,
         )
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                print(line)
-                return 0
+        ok = any(line.startswith("{") for line in proc.stdout.splitlines())
+        stderr_log = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "bench_stderr.log")
+        try:
+            with open(stderr_log, "w") as f:
+                f.write(proc.stderr)
+        except OSError:
+            pass
+        if ok:
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return 0
         log = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            f"bench_attempt{attempt + 1}_stderr.log")
         try:

@@ -342,3 +342,40 @@ def test_evaluate_depth_predictions_end_to_end(tmp_path, rng):
     assert os.path.exists(pred_dir / "result_scale.json")
     with open(pred_dir / "result_scale.json") as f:
         assert json.load(f)["dataset"] == "sintel"
+
+
+def test_video_depth_batched_grid_matches_serial(rng):
+    """The batched (window x tile) grid path must produce the same blended
+    output as the serial path."""
+    from aether_tpu.eval.video_depth import process_with_sliding_window
+    from aether_tpu.pipeline.aether import AetherPipelineOutput
+
+    class _FakeBatched(_FakePipeline):
+        def batch_reconstruct(self, windows, height, width, num_frames,
+                              defer_host=False, **kw):
+            outs = [
+                self(task="reconstruction", video=w, height=height,
+                     width=width, num_frames=num_frames)
+                for w in np.asarray(windows)
+            ]
+            if defer_host:
+                class _D:
+                    def resolve(self_inner):
+                        return outs
+                return _D()
+            return outs
+
+    video = rng.uniform(0, 1, size=(30, 32, 48, 3))
+    serial_rgb, serial_disp = process_with_sliding_window(
+        _FakePipeline(), video, num_inference_steps=1, window_frames=17,
+        temporal_stride=8, tile=(32, 32), spatial_overlap=(8, 8),
+        batch_calls=1,
+    )
+    pipe = _FakeBatched()
+    batch_rgb, batch_disp = process_with_sliding_window(
+        pipe, video, num_inference_steps=1, window_frames=17,
+        temporal_stride=8, tile=(32, 32), spatial_overlap=(8, 8),
+        batch_calls=3,
+    )
+    np.testing.assert_allclose(batch_rgb, serial_rgb, atol=1e-6)
+    np.testing.assert_allclose(batch_disp, serial_disp, atol=1e-6)

@@ -515,3 +515,24 @@ def test_adaptive_full_strip_decode(monkeypatch):
     # second call goes straight to chunked without retrying the strip
     out2 = A._decode_strip_adaptive(cfg, jnp.float32, vae, z, 2)
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(chunked))
+
+
+def test_batch_reconstruct_matches_serial_calls(tiny_pipeline, rng):
+    """batch_reconstruct must reproduce a serial per-window loop (same seed
+    per call, like the reference's per-call generator re-seeding): same VAE
+    keys, broadcast init/SDE noise, identical outputs up to batching
+    numerics."""
+    video = (rng.uniform(0, 1, (25, 64, 96, 3)) * 255).astype(np.uint8)
+    windows = np.stack([video[0:17], video[8:25]])
+    kw = dict(height=64, width=96, num_frames=17, num_inference_steps=2,
+              fps=12, seed=11)
+    batched = tiny_pipeline.batch_reconstruct(windows, **kw)
+    serial = [
+        tiny_pipeline(task="reconstruction", video=w, guidance_scale=1.0,
+                      use_dynamic_cfg=False, **kw)
+        for w in windows
+    ]
+    for b, s in zip(batched, serial):
+        np.testing.assert_allclose(b.rgb, s.rgb, atol=2e-4)
+        np.testing.assert_allclose(b.disparity, s.disparity, atol=2e-4)
+        np.testing.assert_allclose(b.raymap, s.raymap, atol=2e-4)
