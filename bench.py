@@ -34,6 +34,7 @@ def _block(tree):
 
 
 def main() -> None:
+    mode = os.environ.get("AETHER_BENCH_MODE", "all")
     from aether_tpu.config import PipelineConfig
     from aether_tpu.models import init_dit_params, init_vae_params
     from aether_tpu.pipeline import AetherPipeline
@@ -135,24 +136,26 @@ def main() -> None:
                 time.sleep(30.0)
 
     # ---- warmup / compile ----
-    mark("warmup run")
-    t0 = time.perf_counter()
-    run_with_retry()
-    compile_and_first_run_s = time.perf_counter() - t0
-
-    # ---- e2e timed runs ----
-    mark("timed e2e runs")
-    e2e_times = []
-    for _ in range(3):
+    compile_and_first_run_s = 0.0
+    e2e_times, e2e_s = [], float("nan")
+    if mode in ("all", "full"):
+        mark("warmup run")
         t0 = time.perf_counter()
         run_with_retry()
-        e2e_times.append(round(time.perf_counter() - t0, 3))
-    e2e_s = float(np.median(e2e_times))
+        compile_and_first_run_s = time.perf_counter() - t0
+
+        # ---- e2e timed runs ----
+        mark("timed e2e runs")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_with_retry()
+            e2e_times.append(round(time.perf_counter() - t0, 3))
+        e2e_s = float(np.median(e2e_times))
 
     # ---- alternate-wire e2e (best-effort): whichever wire set the headline
     # did NOT use, so both exact-wire and lossy-wire timings are on record ----
     alt_wire_s = None
-    if on_accel:
+    if on_accel and mode in ("all", "full"):
         try:
             alt = AetherPipeline(
                 cfg, dit_params, vae_params, text, compute_dtype=dtype,
@@ -172,42 +175,46 @@ def main() -> None:
     # ---- sub-metrics on the staged internals (best-effort: a contended
     # remote chip must not zero out the headline metric) ----
     vae_encode_s = denoise_s = vae_decode_s = float("nan")
-    try:
-        _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
-                          video, height, width, num_frames, steps)
-    except Exception as exc:
-        print(f"sub-metrics failed: {type(exc).__name__}", file=sys.stderr)
-    else:
-        vae_encode_s, denoise_s, vae_decode_s = _SUB[:]
+    if mode in ("all", "full"):
+        try:
+            _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params,
+                              vae_params, video, height, width, num_frames,
+                              steps)
+        except Exception as exc:
+            print(f"sub-metrics failed: {type(exc).__name__}",
+                  file=sys.stderr)
+        else:
+            vae_encode_s, denoise_s, vae_decode_s = _SUB[:]
 
-    # (prediction runs LAST: a 50-step CFG-pair run once wedged the
-    # tunneled chip and nulled every later metric; the cheap sub-metrics
-    # now bank first)
-    # ---- prediction task (CFG-batched denoise, dynamic CFG, raymap action):
-    # the reference's second headline config (50 steps, pipeline:257-271).
-    # Steps overridable for quick runs; best-effort so a contended chip can't
-    # zero the reconstruction headline. ----
+    # (prediction runs in its OWN child process on accelerators: a 50-step
+    # CFG-pair run once wedged the tunneled chip and nulled every later
+    # metric; process isolation gives it a fresh device client)
     pred_steps = int(os.environ.get("AETHER_BENCH_PRED_STEPS", "50"))
     pred_e2e_s = None
-    try:
-        from aether_tpu.apps.actions import action_raymap
+    if mode in ("all", "pred"):
+        try:
+            from aether_tpu.apps.actions import action_raymap
 
-        raymap = action_raymap("forward", num_frames=num_frames,
-                               height=height, width=width)
-        pred_kwargs = dict(
-            task="prediction", image=video[0], raymap=raymap, height=height,
-            width=width, num_frames=num_frames,
-            num_inference_steps=pred_steps, fps=12, seed=42,
-        )
-        mark(f"prediction warmup ({pred_steps} steps, CFG pair)")
-        pipe(**pred_kwargs)
-        mark("prediction timed run")
-        t0 = time.perf_counter()
-        pipe(**pred_kwargs)
-        pred_e2e_s = round(time.perf_counter() - t0, 3)
-    except Exception as exc:
-        print(f"prediction bench failed: {type(exc).__name__}",
-              file=sys.stderr)
+            raymap = action_raymap("forward", num_frames=num_frames,
+                                   height=height, width=width)
+            pred_kwargs = dict(
+                task="prediction", image=video[0], raymap=raymap,
+                height=height, width=width, num_frames=num_frames,
+                num_inference_steps=pred_steps, fps=12, seed=42,
+            )
+            mark(f"prediction warmup ({pred_steps} steps, CFG pair)")
+            pipe(**pred_kwargs)
+            mark("prediction timed run")
+            t0 = time.perf_counter()
+            pipe(**pred_kwargs)
+            pred_e2e_s = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            print(f"prediction bench failed: {type(exc).__name__}",
+                  file=sys.stderr)
+    if mode == "pred":
+        print(json.dumps({"_pred": {"pred_e2e_s": pred_e2e_s,
+                                    "pred_steps": pred_steps}}))
+        return
 
     result = {
         "metric": "e2e_seconds_per_41f_480p_window",
@@ -304,53 +311,73 @@ def _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
     _SUB[0], _SUB[1], _SUB[2] = vae_encode_s, denoise_s, vae_decode_s
 
 
-def _main_with_process_retry() -> int:
-    """Run the measurement in a child process; relaunch on failure.
-
-    A wedged tunnel client never recovers in-process (observed: once a
-    RESOURCE_EXHAUSTED fires, every subsequent op fails), so retries must get
-    a fresh device client. The child prints the JSON line; the parent
-    forwards it verbatim.
-    """
+def _run_child(mode: str, attempts: int, tag: str):
+    """Run one measurement child (AETHER_BENCH_MODE=mode); returns the parsed
+    JSON dict or None. Retries with a fresh device client — a wedged tunnel
+    client never recovers in-process (observed: once a RESOURCE_EXHAUSTED
+    fires, every subsequent op fails)."""
     import subprocess
 
-    if os.environ.get("AETHER_BENCH_CHILD") == "1":
-        return main() or 0
-
+    here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     env["AETHER_BENCH_CHILD"] = "1"
-    attempts = int(os.environ.get("AETHER_BENCH_ATTEMPTS", "5"))
+    env["AETHER_BENCH_MODE"] = mode
     for attempt in range(attempts):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True,
         )
-        ok = any(line.startswith("{") for line in proc.stdout.splitlines())
-        stderr_log = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "bench_stderr.log")
         try:
-            with open(stderr_log, "w") as f:
+            with open(os.path.join(here, f"bench_stderr_{tag}.log"), "w") as f:
                 f.write(proc.stderr)
         except OSError:
             pass
-        if ok:
-            for line in proc.stdout.splitlines():
-                if line.startswith("{"):
-                    print(line)
-                    return 0
-        log = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           f"bench_attempt{attempt + 1}_stderr.log")
-        try:
-            with open(log, "w") as f:
-                f.write(proc.stderr)
-        except OSError:
-            pass
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
         sys.stderr.write(proc.stderr[-2000:] + "\n")
-        print(f"bench attempt {attempt + 1} failed (rc={proc.returncode}); "
-              "relaunching with a fresh device client", file=sys.stderr,
-              flush=True)
+        print(f"bench[{tag}] attempt {attempt + 1} failed "
+              f"(rc={proc.returncode}); relaunching with a fresh device "
+              "client", file=sys.stderr, flush=True)
         time.sleep(60.0)
-    return 1
+    return None
+
+
+def _main_with_process_retry() -> int:
+    """Orchestrate the measurement children and print ONE merged JSON line.
+
+    On accelerators the reconstruction suite ("full") and the 50-step
+    CFG-pair prediction ("pred") run in SEPARATE child processes: the
+    prediction once wedged the tunneled chip, and process isolation keeps a
+    wedge there from nulling the headline metrics (each child also gets a
+    fresh device client). CPU runs stay single-child ("all").
+    """
+    if os.environ.get("AETHER_BENCH_CHILD") == "1":
+        return main() or 0
+
+    attempts = int(os.environ.get("AETHER_BENCH_ATTEMPTS", "5"))
+    on_accel = os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and \
+        os.environ.get("JAX_PLATFORM_NAME", "") not in ("cpu",)
+    if not on_accel:
+        result = _run_child("all", attempts, "all")
+        if result is None:
+            return 1
+        print(json.dumps(result))
+        return 0
+
+    result = _run_child("full", attempts, "full")
+    if result is None:
+        return 1
+    time.sleep(90.0)  # back-to-back tunnel clients hang in device init
+    pred = _run_child("pred", max(1, attempts - 3), "pred")
+    if pred and pred.get("_pred"):
+        result["pred_e2e_s"] = pred["_pred"]["pred_e2e_s"]
+        result["pred_steps"] = pred["_pred"]["pred_steps"]
+        if result["pred_e2e_s"]:
+            result["pred_steps_per_sec"] = round(
+                result["pred_steps"] / result["pred_e2e_s"], 3)
+    print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
