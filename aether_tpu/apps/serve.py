@@ -416,12 +416,18 @@ def make_handler(runner: JobRunner, raymap_dir: Optional[str]):
                 self.end_headers()
                 self.wfile.write(data)
             elif self.path == "/api/raymaps":
-                names = []
                 if raymap_dir and os.path.isdir(raymap_dir):
                     names = sorted(
                         os.path.splitext(f)[0].replace("raymap_", "")
                         for f in os.listdir(raymap_dir) if f.endswith(".npy")
                     )
+                else:
+                    # no canned .npy directory: offer the generated camera
+                    # actions (the reference ships canned raymap blobs; ours
+                    # are synthesized on demand, apps/actions.py)
+                    from aether_tpu.apps.actions import NAMED_ACTIONS
+
+                    names = sorted(NAMED_ACTIONS)
                 self._json(names)
             elif self.path.startswith("/api/status/"):
                 status = runner.status(self.path.rsplit("/", 1)[-1])
@@ -514,9 +520,19 @@ def _fields_to_params(fields: dict, raymap_dir: Optional[str]) -> dict:
     name = fields.get("raymap")
     if name:
         path = os.path.join(raymap_dir or "", f"raymap_{name}.npy")
-        if not os.path.isfile(path):
-            raise ValueError(f"unknown raymap action {name!r}")
-        params["raymap_array"] = np.load(path)
+        if os.path.isfile(path):
+            params["raymap_array"] = np.load(path)
+        else:
+            from aether_tpu.apps.actions import NAMED_ACTIONS, action_raymap
+
+            if name not in NAMED_ACTIONS:
+                raise ValueError(f"unknown raymap action {name!r}")
+            params["raymap_array"] = action_raymap(
+                name,
+                num_frames=int(params.get("num_frames", 41)),
+                height=int(params.get("height", 480)),
+                width=int(params.get("width", 720)),
+            )
     return params
 
 

@@ -97,7 +97,36 @@ def _gif_bytes(frames=17, h=64, w=96):
 def test_index_and_raymaps(server):
     html = _get(server + "/").decode()
     assert "viewer" in html and "showGLB" in html  # embedded 3D viewer
-    assert json.loads(_get(server + "/api/raymaps")) == []
+    # no --raymap_dir: generated camera actions are offered instead of
+    # canned .npy blobs (reference ships example_raymaps/*.npy)
+    from aether_tpu.apps.actions import NAMED_ACTIONS
+
+    assert json.loads(_get(server + "/api/raymaps")) == sorted(NAMED_ACTIONS)
+
+
+def test_prediction_job_with_generated_raymap(server):
+    """Prediction task via a generated raymap action (no canned .npy dir)."""
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.default_rng(2).uniform(0, 255, (64, 96, 3))).astype("uint8")
+    ).save(buf, format="PNG")
+    resp = _submit_multipart(
+        server + "/api/submit",
+        {"task": "prediction", "num_frames": "17", "fps": "12",
+         "steps": "1", "height": "64", "width": "96", "raymap": "forward"},
+        {"image": ("obs.png", buf.getvalue())},
+    )
+    job_id = resp["job_id"]
+    for _ in range(300):
+        status = json.loads(_get(f"{server}/api/status/{job_id}"))
+        if status["status"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert status["status"] == "done", status.get("error")
+    assert any(a.endswith(".glb") for a in status["artifacts"])
 
 
 def test_reconstruction_job_with_progress_and_glb(server):
