@@ -159,6 +159,72 @@ def _flash_kernel(
         o_ref[...] = (acc[:, :, :dim] * l_inv).astype(o_ref.dtype)
 
 
+def _flash_kernel_fixed_max(
+    mmax_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    acc_scratch,
+    *,
+    kv_len: int,
+    block_k: int,
+    num_kv_blocks: int,
+    dim: int,
+):
+    """Fixed-softmax-max attention cell (``fixed_max=True`` path).
+
+    When an a-priori upper bound m on every score is available (the caller
+    computes the Cauchy-Schwarz bound max_row||q|| * max_row||k|| per head
+    group — tight enough for QK-NORMALIZED attention, see
+    :func:`flash_attention`), the online-softmax machinery collapses:
+    ``p = exp2(s - m)`` needs no running max, no alpha rescale, no m-scratch
+    RMW — the only per-element VPU work left on the score tile is the mask
+    select and one exp2. Softmax is shift-invariant, so any valid upper bound
+    gives the exact result as long as ``row_max - m`` stays above exp2's
+    underflow (~-126): guaranteed when the bound is within ~100 of the true
+    row max, which QK-norm enforces by construction. Denominator rides the PV
+    matmul (128-lane [v | ones | 0] tile).
+    """
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[...]  # (hper, block_q, d), pre-scaled by sm_scale*log2(e)
+    k = k_ref[...]  # (hper, block_k, d)
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (hper, block_q, block_k), log2-domain scores
+
+    if kv_len < num_kv_blocks * block_k:
+        col = (kv_idx * block_k
+               + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2))
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    p = jnp.exp2(s - mmax_ref[pl.program_id(0)])  # (hper, block_q, block_k)
+
+    v = v_ref[...]  # (hper, block_k, 128): [v | ones | 0]
+    acc_scratch[...] += jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        acc = acc_scratch[...]
+        l_final = acc[:, :, dim : dim + 1]
+        l_inv = jnp.where(l_final <= 0.0, 1.0, 1.0 / l_final)
+        o_ref[...] = (acc[:, :, :dim] * l_inv).astype(o_ref.dtype)
+
+
 def _vmem_limit_bytes(
     block_q: int, block_k: int, hper: int, dim: int, itemsize: int
 ) -> int:
@@ -205,7 +271,7 @@ def _pick_block(seq: int, requested: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_q", "block_k", "heads_per_cell",
-                     "interpret", "denom", "mask_last_only"),
+                     "interpret", "denom", "mask_last_only", "fixed_max"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -218,6 +284,7 @@ def flash_attention(
     interpret: bool = False,
     denom: str = "mxu",
     mask_last_only: bool = False,
+    fixed_max: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, S, D]; full (non-causal) attention.
 
@@ -225,6 +292,14 @@ def flash_attention(
     padded query rows are sliced away on return. ``heads_per_cell`` is clamped
     to the largest divisor of B*H not exceeding it. ``denom``/
     ``mask_last_only`` are kernel tuning knobs (see :func:`_flash_kernel`).
+
+    ``fixed_max=True`` replaces the online running max with a per-head-group
+    Cauchy-Schwarz score bound computed outside the kernel — exact for
+    QK-NORMALIZED attention (bounded scores), where the bound sits well
+    within exp2's underflow margin of every row max; do NOT use it for
+    unnormalized q/k whose score range is unbounded (an adversarial gap
+    > ~100 between the bound and a row's max underflows that row's weights).
+    See :func:`_flash_kernel_fixed_max`.
     """
     batch, heads, seq, dim = q.shape
     if sm_scale is None:
@@ -256,6 +331,8 @@ def flash_attention(
     kp = _pad(k).reshape(bh, seq_pad, dim)
     vp = _pad(v).reshape(bh, seq_pad, dim)
     dim_v = dim
+    if fixed_max:
+        denom = "mxu"  # the fixed-max kernel always uses the ones-column l
     if denom == "mxu":
         # [v | ones | zeros] padded to a full 128-lane tile (a dim+1 tile is
         # catastrophically misaligned: 130-byte rows; measured 2x slowdown).
@@ -271,6 +348,62 @@ def flash_attention(
 
     num_q_blocks = seq_pad // block_q
     num_kv_blocks = seq_pad // block_k
+
+    if fixed_max:
+        # per-head-group score upper bound (log2 domain; the sm_scale*log2e
+        # fold is already inside q): max_row ||q|| * max_row ||k|| over each
+        # grid cell's hper heads. Padded rows are zero and cannot raise it.
+        qn = jnp.sqrt(jnp.sum(jnp.square(qp.astype(jnp.float32)), axis=-1))
+        kn = jnp.sqrt(jnp.sum(jnp.square(kp.astype(jnp.float32)), axis=-1))
+        bounds = (jnp.max(qn, axis=-1) * jnp.max(kn, axis=-1)).reshape(
+            bh // hper, hper
+        ).max(axis=-1)  # (bh//hper,)
+
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_kernel_fixed_max,
+                kv_len=seq,
+                block_k=block_k,
+                num_kv_blocks=num_kv_blocks,
+                dim=dim,
+            ),
+            out_shape=jax.ShapeDtypeStruct((bh, seq_pad, dim), q.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bh // hper, num_q_blocks, num_kv_blocks),
+                # index maps receive the scalar-prefetch refs as trailing args
+                in_specs=[
+                    pl.BlockSpec((hper, block_q, dim),
+                                 lambda b, qi, ki, *_: (b, qi, 0)),
+                    pl.BlockSpec((hper, block_k, dim),
+                                 lambda b, qi, ki, *_: (b, ki, 0)),
+                    pl.BlockSpec((hper, block_k, dim_v),
+                                 lambda b, qi, ki, *_: (b, ki, 0)),
+                ],
+                out_specs=pl.BlockSpec((hper, block_q, dim),
+                                       lambda b, qi, ki, *_: (b, qi, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((hper, block_q, dim_v), jnp.float32),
+                ],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=_vmem_limit_bytes(
+                    block_q, block_k, hper, dim, q.dtype.itemsize
+                ),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bh * seq_pad * seq_pad * dim,
+                bytes_accessed=3 * bh * seq_pad * dim * q.dtype.itemsize
+                + bh * seq_pad * dim * q.dtype.itemsize,
+                transcendentals=bh * seq_pad * seq_pad,
+            ),
+            interpret=interpret,
+        )(bounds, qp, kp, vp)
+        out = out.reshape(batch, heads, seq_pad, dim)
+        if seq_pad != seq:
+            out = out[:, :, :seq]
+        return out
 
     kernel = functools.partial(
         _flash_kernel,

@@ -135,3 +135,17 @@ def test_kernel_variants_match_reference(denom, mask_last):
     out = flash_attention(q, k, v, block_q=128, block_k=128, denom=denom,
                           mask_last_only=mask_last, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fixed_max_matches_reference_qk_normed():
+    """fixed_max (a-priori Cauchy-Schwarz score bound) must be exact for
+    QK-norm-style bounded inputs, including padded kv positions and bf16."""
+    rng = np.random.default_rng(13)
+    for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+        q, k, v = (jnp.asarray(rng.normal(size=(1, 4, 300, 64)), dtype)
+                   for _ in range(3))
+        ref = attention_reference(q, k, v).astype(jnp.float32)
+        out = flash_attention(q, k, v, block_q=128, block_k=128,
+                              fixed_max=True, interpret=True
+                              ).astype(jnp.float32)
+        assert float(jnp.max(jnp.abs(out - ref))) < tol
