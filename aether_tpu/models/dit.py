@@ -420,6 +420,19 @@ def _ada_modulate(
     return x_n, e_n, gate[:, None], e_gate[:, None]
 
 
+def _use_fixed_max() -> bool:
+    """Opt-in fixed-softmax-max attention (AETHER_ATTN_FIXED_MAX=1).
+
+    The DiT's attention is always QK-normalized, which is exactly the
+    precondition for the kernel's a-priori score bound (see
+    ``ops/flash_attention.py::_flash_kernel_fixed_max``); env-gated until the
+    on-chip speedup is recorded in BASELINE.md.
+    """
+    import os
+
+    return os.environ.get("AETHER_ATTN_FIXED_MAX", "0") == "1"
+
+
 def _sharded_flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh, interpret: bool
 ) -> jnp.ndarray:
@@ -442,9 +455,11 @@ def _sharded_flash_attention(
     head_axis = "tp" if tp > 1 and nh % tp == 0 else None
     batch_axis = "dp" if dp > 1 and b % dp == 0 else None
     if head_axis is None and batch_axis is None:
-        return flash_attention(q, k, v, interpret=interpret)
+        return flash_attention(q, k, v, interpret=interpret,
+                               fixed_max=_use_fixed_max())
     spec = P(batch_axis, head_axis, None, None)
-    fn = functools.partial(flash_attention, interpret=interpret)
+    fn = functools.partial(flash_attention, interpret=interpret,
+                           fixed_max=_use_fixed_max())
     return jax.shard_map(
         fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
@@ -486,7 +501,8 @@ def _attention(
         if mesh is not None:
             attn = _sharded_flash_attention(q, k, v, mesh, interpret)
         else:
-            attn = flash_attention(q, k, v, interpret=interpret)
+            attn = flash_attention(q, k, v, interpret=interpret,
+                                   fixed_max=_use_fixed_max())
     elif attn_impl == "chunked":
         from aether_tpu.ops.chunked_attention import chunked_attention
 
