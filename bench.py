@@ -192,25 +192,38 @@ def main() -> None:
     pred_steps = int(os.environ.get("AETHER_BENCH_PRED_STEPS", "50"))
     pred_e2e_s = None
     if mode in ("all", "pred"):
-        try:
-            from aether_tpu.apps.actions import action_raymap
+        from aether_tpu.apps.actions import action_raymap
 
-            raymap = action_raymap("forward", num_frames=num_frames,
-                                   height=height, width=width)
-            pred_kwargs = dict(
+        raymap = action_raymap("forward", num_frames=num_frames,
+                               height=height, width=width)
+
+        def _pred_once(steps_n):
+            kwargs = dict(
                 task="prediction", image=video[0], raymap=raymap,
                 height=height, width=width, num_frames=num_frames,
-                num_inference_steps=pred_steps, fps=12, seed=42,
+                num_inference_steps=steps_n, fps=12, seed=42,
             )
-            mark(f"prediction warmup ({pred_steps} steps, CFG pair)")
-            pipe(**pred_kwargs)
+            mark(f"prediction warmup ({steps_n} steps, CFG pair)")
+            pipe(**kwargs)
             mark("prediction timed run")
             t0 = time.perf_counter()
-            pipe(**pred_kwargs)
-            pred_e2e_s = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            print(f"prediction bench failed: {type(exc).__name__}",
-                  file=sys.stderr)
+            pipe(**kwargs)
+            return round(time.perf_counter() - t0, 3)
+
+        try:
+            pred_e2e_s = _pred_once(pred_steps)
+        except Exception:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            # a wedged in-process client won't recover, but a transient
+            # compile/transfer failure might; bank at least the 4-step number
+            if pred_steps != 4:
+                try:
+                    pred_e2e_s = _pred_once(4)
+                    pred_steps = 4
+                except Exception:
+                    traceback.print_exc(file=sys.stderr)
     if mode == "pred":
         print(json.dumps({"_pred": {"pred_e2e_s": pred_e2e_s,
                                     "pred_steps": pred_steps}}))
