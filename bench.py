@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -324,11 +326,14 @@ def _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
     _SUB[0], _SUB[1], _SUB[2] = vae_encode_s, denoise_s, vae_decode_s
 
 
-def _run_child(mode: str, attempts: int, tag: str):
+def _run_child(mode: str, attempts: int, tag: str,
+               timeout_s: Optional[float] = None):
     """Run one measurement child (AETHER_BENCH_MODE=mode); returns the parsed
     JSON dict or None. Retries with a fresh device client — a wedged tunnel
     client never recovers in-process (observed: once a RESOURCE_EXHAUSTED
-    fires, every subsequent op fails)."""
+    fires, every subsequent op fails). ``timeout_s`` bounds one attempt so a
+    hung channel warm (observed up to ~19 min) can't eat the whole driver
+    budget."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -336,10 +341,24 @@ def _run_child(mode: str, attempts: int, tag: str):
     env["AETHER_BENCH_CHILD"] = "1"
     env["AETHER_BENCH_MODE"] = mode
     for attempt in range(attempts):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired as exc:
+            print(f"bench[{tag}] attempt {attempt + 1} timed out after "
+                  f"{timeout_s}s", file=sys.stderr, flush=True)
+            try:
+                with open(os.path.join(here, f"bench_stderr_{tag}.log"),
+                          "w") as f:
+                    f.write((exc.stderr or b"").decode("utf-8", "replace")
+                            if isinstance(exc.stderr, bytes)
+                            else (exc.stderr or ""))
+            except OSError:
+                pass
+            time.sleep(90.0)
+            continue
         try:
             with open(os.path.join(here, f"bench_stderr_{tag}.log"), "w") as f:
                 f.write(proc.stderr)
@@ -382,7 +401,7 @@ def _main_with_process_retry() -> int:
     if result is None:
         return 1
     time.sleep(90.0)  # back-to-back tunnel clients hang in device init
-    pred = _run_child("pred", max(1, attempts - 3), "pred")
+    pred = _run_child("pred", 1, "pred", timeout_s=3600.0)
     if pred and pred.get("_pred"):
         result["pred_e2e_s"] = pred["_pred"]["pred_e2e_s"]
         result["pred_steps"] = pred["_pred"]["pred_steps"]
