@@ -90,11 +90,6 @@ def process_video_with_sliding_window(
     if not t_starts or t_starts[-1] != t - window_frames:
         t_starts.append(t - window_frames)
 
-    def _resolve(out):
-        # real pipeline returns a DeferredOutput under defer_host; test stubs
-        # may return the plain output
-        return out.resolve() if hasattr(out, "resolve") else out
-
     def _window(out, t_start) -> dict:
         pcd = postprocess_pointmap(
             np.asarray(out.disparity), np.asarray(out.raymap),
@@ -114,20 +109,22 @@ def process_video_with_sliding_window(
     # defer_host chaining: window i's D2H transfer AND host-side pointmap
     # postprocessing (Kalman smoothing, SVD alignment) overlap window i+1's
     # device compute
-    windows, pending = [], None
-    for t_start in t_starts:
-        out = pipeline(
-            task="reconstruction", video=video[t_start : t_start + window_frames],
+    from aether_tpu.pipeline.aether import iter_resolved
+
+    dispatches = (
+        (lambda s=t_start: pipeline(
+            task="reconstruction", video=video[s : s + window_frames],
             height=video.shape[1], width=video.shape[2],
             num_frames=window_frames, fps=fps,
             num_inference_steps=num_inference_steps,
             guidance_scale=1.0, use_dynamic_cfg=False, seed=seed,
-            defer_host=True,
-        )
-        if pending is not None:
-            windows.append(_window(_resolve(pending[0]), pending[1]))
-        pending = (out, t_start)
-    windows.append(_window(_resolve(pending[0]), pending[1]))
+            defer_host=True))
+        for t_start in t_starts
+    )
+    windows = [
+        _window(out, t_start)
+        for t_start, out in zip(t_starts, iter_resolved(dispatches))
+    ]
     return blend_window_outputs(windows)
 
 

@@ -150,46 +150,36 @@ def _run_window_tile_grid(
         batch_calls = int(mesh.shape.get("dp", 1)) if mesh is not None else 1
     batch_calls = max(1, min(batch_calls, len(clips)))
 
+    from aether_tpu.pipeline.aether import iter_resolved
+
     results: dict = {}
     height, width = clips[0].shape[1:3]
     if batch_calls > 1 and hasattr(pipeline, "batch_reconstruct"):
-        pending = None  # (deferred, job-slice)
-        for i in range(0, len(clips), batch_calls):
-            chunk_jobs = jobs[i : i + batch_calls]
-            out = pipeline.batch_reconstruct(
-                np.stack(clips[i : i + batch_calls]), height=height,
-                width=width, num_frames=window_frames,
+        chunks = [(jobs[i : i + batch_calls], clips[i : i + batch_calls])
+                  for i in range(0, len(clips), batch_calls)]
+        dispatches = (
+            (lambda cl=chunk_clips: pipeline.batch_reconstruct(
+                np.stack(cl), height=height, width=width,
+                num_frames=window_frames,
                 num_inference_steps=num_inference_steps, fps=fps, seed=seed,
-                defer_host=True,
-            )
-            if pending is not None:
-                for job, o in zip(pending[1], pending[0].resolve()):
-                    results[job] = (np.asarray(o.rgb), np.asarray(o.disparity))
-            pending = (out, chunk_jobs)
-        for job, o in zip(pending[1], pending[0].resolve()):
-            results[job] = (np.asarray(o.rgb), np.asarray(o.disparity))
+                defer_host=True))
+            for _, chunk_clips in chunks
+        )
+        for (chunk_jobs, _), outs in zip(chunks, iter_resolved(dispatches)):
+            for job, o in zip(chunk_jobs, outs):
+                results[job] = (np.asarray(o.rgb), np.asarray(o.disparity))
     else:
-        def _resolve(out):
-            # pipeline stubs in tests return plain outputs; the real pipeline
-            # returns a DeferredOutput under defer_host
-            return out.resolve() if hasattr(out, "resolve") else out
-
-        pending = None
-        for job, clip in zip(jobs, clips):
-            out = pipeline(
-                task="reconstruction", video=clip, height=height, width=width,
+        dispatches = (
+            (lambda c=clip: pipeline(
+                task="reconstruction", video=c, height=height, width=width,
                 num_frames=window_frames, fps=fps,
                 num_inference_steps=num_inference_steps,
                 guidance_scale=1.0, use_dynamic_cfg=False, seed=seed,
-                defer_host=True,
-            )
-            if pending is not None:
-                o = _resolve(pending[0])
-                results[pending[1]] = (np.asarray(o.rgb),
-                                       np.asarray(o.disparity))
-            pending = (out, job)
-        o = _resolve(pending[0])
-        results[pending[1]] = (np.asarray(o.rgb), np.asarray(o.disparity))
+                defer_host=True))
+            for clip in clips
+        )
+        for job, o in zip(jobs, iter_resolved(dispatches)):
+            results[job] = (np.asarray(o.rgb), np.asarray(o.disparity))
     return results
 
 

@@ -420,13 +420,16 @@ def _ada_modulate(
     return x_n, e_n, gate[:, None], e_gate[:, None]
 
 
-def _use_fixed_max() -> bool:
+def use_fixed_max_default() -> bool:
     """Opt-in fixed-softmax-max attention (AETHER_ATTN_FIXED_MAX=1).
 
     The DiT's attention is always QK-normalized, which is exactly the
     precondition for the kernel's a-priori score bound (see
     ``ops/flash_attention.py::_flash_kernel_fixed_max``); env-gated until the
-    on-chip speedup is recorded in BASELINE.md.
+    on-chip speedup is recorded in BASELINE.md. NOTE: this is resolved at
+    TRACE time — jitted callers must read it outside jit and pass
+    ``fixed_max`` explicitly (the pipeline does), or a cached executable
+    silently ignores later env toggles.
     """
     import os
 
@@ -434,7 +437,8 @@ def _use_fixed_max() -> bool:
 
 
 def _sharded_flash_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh, interpret: bool
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh, interpret: bool,
+    fixed_max: bool = False,
 ) -> jnp.ndarray:
     """Partition the Pallas flash kernel over a ('dp', 'tp') mesh.
 
@@ -456,10 +460,10 @@ def _sharded_flash_attention(
     batch_axis = "dp" if dp > 1 and b % dp == 0 else None
     if head_axis is None and batch_axis is None:
         return flash_attention(q, k, v, interpret=interpret,
-                               fixed_max=_use_fixed_max())
+                               fixed_max=fixed_max)
     spec = P(batch_axis, head_axis, None, None)
     fn = functools.partial(flash_attention, interpret=interpret,
-                           fixed_max=_use_fixed_max())
+                           fixed_max=fixed_max)
     return jax.shard_map(
         fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
@@ -476,6 +480,7 @@ def _attention(
     attn_impl: str,
     a8: bool = False,
     mesh=None,
+    fixed_max: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     text_len = enc.shape[1]
     x = jnp.concatenate([enc, hidden], axis=1)  # text first
@@ -499,10 +504,11 @@ def _attention(
     if attn_impl in ("flash", "flash_interpret"):
         interpret = attn_impl == "flash_interpret"
         if mesh is not None:
-            attn = _sharded_flash_attention(q, k, v, mesh, interpret)
+            attn = _sharded_flash_attention(q, k, v, mesh, interpret,
+                                            fixed_max)
         else:
             attn = flash_attention(q, k, v, interpret=interpret,
-                                   fixed_max=_use_fixed_max())
+                                   fixed_max=fixed_max)
     elif attn_impl == "chunked":
         from aether_tpu.ops.chunked_attention import chunked_attention
 
@@ -578,6 +584,7 @@ def dit_forward(
     act_quant: bool = False,
     mesh=None,
     collect_blocks: bool = False,
+    fixed_max: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Denoiser forward.
 
@@ -607,6 +614,10 @@ def dit_forward(
     pt = cfg.patch_size_t
     hp, wp = h // p, w // p
     compute_dtype = hidden_states.dtype
+    if fixed_max is None:
+        # env fallback for direct (unjitted-arg) callers; the pipeline passes
+        # the resolved value as a static jit arg so toggles take effect
+        fixed_max = use_fixed_max_default()
 
     # 1. time embedding: sinusoid(hidden) -> MLP -> [B, time_embed_dim]
     t_emb = timestep_embedding(
@@ -659,7 +670,8 @@ def dit_forward(
             hid, enc, temb, block_p["norm1"], cfg.norm_eps
         )
         attn_h, attn_e = _attention(
-            block_p["attn"], h_n, e_n, rc, rs, cfg, attn_impl, act_quant, mesh
+            block_p["attn"], h_n, e_n, rc, rs, cfg, attn_impl, act_quant,
+            mesh, fixed_max
         )
         hid = hid + (gate * attn_h.astype(jnp.float32)).astype(hid.dtype)
         enc = enc + (e_gate * attn_e.astype(jnp.float32)).astype(enc.dtype)

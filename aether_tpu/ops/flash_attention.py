@@ -20,9 +20,10 @@ Design notes (TPU, measured on v5e at the 48-head 15k-token window):
   and corrects the softmax denominator at store time measured the same within
   noise, but breaks when every real score underflows exp2 while padding pins
   the running max at 0, so the robust mask stays). Predicating the mask on
-  the last kv block via ``lax.cond`` DOUBLES the kernel time on v5e (Mosaic
-  handles the value-returning conditional terribly: 40 -> 79 ms measured) —
-  ``mask_last_only`` stays available but off.
+  the last kv block via ``lax.cond`` DOUBLED the kernel time on v5e (Mosaic
+  handles value-returning conditionals terribly: 40 -> 79 ms measured) and
+  was also WRONG whenever lcm(block_q, block_k) > block_k spreads padding
+  over several kv blocks — the experiment was removed.
 - the softmax denominator rides the PV matmul by default (``denom="mxu"``):
   v is packed [v | ones | zeros] into a 128-lane-aligned tile so ``p @ v_ext``
   emits [o | sum(p)] in one MXU pass — N <= 128 costs the same as N = 64 at
@@ -80,7 +81,6 @@ def _flash_kernel(
     num_kv_blocks: int,
     dim: int,
     denom: str,
-    mask_last_only: bool,
 ):
     """Online-softmax attention cell. Two static tuning knobs:
 
@@ -91,9 +91,6 @@ def _flash_kernel(
     the l column obeys the same ``acc*alpha + new`` recurrence as o.
     ``denom="vpu"`` keeps the classic separate l accumulator.
 
-    ``mask_last_only``: padded kv positions exist only in the LAST kv block,
-    so the iota+select masking pass can be predicated on ``kv_idx == last``
-    instead of running on every cell.
     """
     kv_idx = pl.program_id(2)
     mxu_denom = denom == "mxu"
@@ -117,16 +114,9 @@ def _flash_kernel(
 
     # Mask out padded kv positions (no-op when nothing is padded).
     if kv_len < num_kv_blocks * block_k:
-        def _masked(s):
-            col = (kv_idx * block_k
-                   + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2))
-            return jnp.where(col < kv_len, s, _NEG_INF)
-
-        if mask_last_only:
-            s = jax.lax.cond(kv_idx == num_kv_blocks - 1, _masked,
-                             lambda s: s, s)
-        else:
-            s = _masked(s)
+        col = (kv_idx * block_k
+               + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2))
+        s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_scratch[...]  # (hper, block_q, 128) lane-replicated
     m_curr = jnp.max(s, axis=2, keepdims=True)  # (hper, block_q, 1)
@@ -271,7 +261,7 @@ def _pick_block(seq: int, requested: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_q", "block_k", "heads_per_cell",
-                     "interpret", "denom", "mask_last_only", "fixed_max"),
+                     "interpret", "denom", "fixed_max"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -283,15 +273,17 @@ def flash_attention(
     heads_per_cell: int = 4,
     interpret: bool = False,
     denom: str = "mxu",
-    mask_last_only: bool = False,
     fixed_max: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, S, D]; full (non-causal) attention.
 
     S is padded internally to a block multiple; padded keys are masked and
     padded query rows are sliced away on return. ``heads_per_cell`` is clamped
-    to the largest divisor of B*H not exceeding it. ``denom``/
-    ``mask_last_only`` are kernel tuning knobs (see :func:`_flash_kernel`).
+    to the largest divisor of B*H not exceeding it. ``denom`` is a kernel
+    tuning knob (see :func:`_flash_kernel`); a lax.cond-predicated
+    "mask only the last kv block" experiment was REMOVED — it doubled kernel
+    time on v5e (Mosaic value-returning cond) and was wrong whenever
+    lcm(block_q, block_k) > block_k spreads padding over several kv blocks.
 
     ``fixed_max=True`` replaces the online running max with a per-head-group
     Cauchy-Schwarz score bound computed outside the kernel — exact for
@@ -331,6 +323,11 @@ def flash_attention(
     kp = _pad(k).reshape(bh, seq_pad, dim)
     vp = _pad(v).reshape(bh, seq_pad, dim)
     dim_v = dim
+    if dim >= 128:
+        # no spare lane for the ones column in a 128-lane tile: fall back to
+        # the VPU denominator (fixed_max depends on the mxu layout too)
+        denom = "vpu"
+        fixed_max = False
     if fixed_max:
         denom = "mxu"  # the fixed-max kernel always uses the ones-column l
     if denom == "mxu":
@@ -412,7 +409,6 @@ def flash_attention(
         num_kv_blocks=num_kv_blocks,
         dim=dim,
         denom=denom,
-        mask_last_only=mask_last_only,
     )
 
     out = pl.pallas_call(

@@ -72,6 +72,27 @@ class DeferredOutput:
         return self._result
 
 
+def iter_resolved(dispatches):
+    """Pipelined resolve over a sequence of deferred dispatches.
+
+    ``dispatches``: iterable of zero-arg callables, each dispatching one
+    pipeline call (ideally with ``defer_host=True``) and returning a
+    :class:`DeferredOutput` or a plain output (test stubs). Yields resolved
+    outputs IN ORDER while always keeping one dispatch in flight ahead of the
+    consumer — call i+1's device compute overlaps call i's host transfer and
+    whatever host post-processing the consumer does between ``next()`` calls.
+    Shared by the eval drivers; the demo CLI keeps explicit loops because it
+    wraps each dispatch/resolve in its own named stage timer."""
+    pending = None
+    for make in dispatches:
+        out = make()
+        if pending is not None:
+            yield pending.resolve() if hasattr(pending, "resolve") else pending
+        pending = out
+    if pending is not None:
+        yield pending.resolve() if hasattr(pending, "resolve") else pending
+
+
 def _start_pull(arr):
     """Drain pending device work, then start the async D2H copy.
 
@@ -464,9 +485,18 @@ def _finish_encode_keys(
     if keys is None:
         return _finish_encode(config, dtype, mean, logvar, None)
     per_window = (1,) + tuple(mean.shape[1:])
-    noise = jnp.concatenate(
-        [jax.random.normal(k, per_window, jnp.float32) for k in keys], axis=0
-    )
+    if all(k is keys[0] for k in keys):
+        # batch_reconstruct passes the SAME key for every window (serial-loop
+        # parity): one draw broadcast is bit-identical and B-1 graphs cheaper
+        noise = jnp.broadcast_to(
+            jax.random.normal(keys[0], per_window, jnp.float32),
+            (len(keys),) + per_window[1:],
+        )
+    else:
+        noise = jnp.concatenate(
+            [jax.random.normal(k, per_window, jnp.float32) for k in keys],
+            axis=0,
+        )
     logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
     lat = mean.astype(jnp.float32) + jnp.exp(0.5 * logvar) * noise
     lat = jnp.moveaxis(lat, -1, 2)  # (B, F_lat, C, h, w)
@@ -659,9 +689,10 @@ def _decode_pixels(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "attn_impl", "compute_dtype", "task", "do_cfg",
-                     "act_quant", "mesh", "broadcast_noise"),
+                     "seg_len", "act_quant", "mesh", "broadcast_noise",
+                     "fixed_max"),
 )
-def _denoise(
+def _denoise_segment(
     config: PipelineConfig,
     attn_impl: str,
     compute_dtype,
@@ -674,31 +705,24 @@ def _denoise(
     guidance: jnp.ndarray,
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
-    key: jax.Array,
+    key_sde: jax.Array,
+    latents: jnp.ndarray,
+    old_x0: jnp.ndarray,
+    step_start: jnp.ndarray,  # traced scalar: absolute index of the first step
+    seg_len: int,
     act_quant: bool = False,
     mesh=None,
     broadcast_noise: bool = False,
-) -> jnp.ndarray:
-    """The jitted denoise loop; returns final (1, F_lat, 56, h, w) latents.
-
-    ``broadcast_noise``: draw the init/SDE noise once and broadcast it over
-    the batch. A serial loop seeded identically gives every window the SAME
-    noise stream (the reference re-seeds its generator per call,
-    ``demo.py:42-49``), so the batched multi-window path uses this to be
-    bit-identical to — and composition-invariant with — the serial path.
-    """
+    fixed_max: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One jitted segment of the denoise scan: steps [step_start,
+    step_start + seg_len). All plan/guidance/SDE-key indexing uses ABSOLUTE
+    step indices, so chaining segments is bit-identical to one long scan."""
     cfg = config
     dtype = compute_dtype
     lat_c = cfg.vae.latent_channels
-    b, f_lat, _, h_lat, w_lat = condition_latents.shape
-
-    key_noise, key_sde = jax.random.split(key)
+    b = condition_latents.shape[0]
     noise_b = 1 if broadcast_noise else b
-    latents = jnp.broadcast_to(
-        jax.random.normal(key_noise, (noise_b, f_lat, 56, h_lat, w_lat),
-                          jnp.float32) * plan.init_noise_sigma,
-        (b, f_lat, 56, h_lat, w_lat),
-    ).astype(dtype)
 
     # CFG uncond masking (pipeline:839-855)
     if do_cfg:
@@ -726,7 +750,7 @@ def _denoise(
         noise_pred = dit_forward(
             dit_params, cfg.dit, model_in, text, t_batch,
             rope_cos, rope_sin, attn_impl=attn_impl, act_quant=act_quant,
-            mesh=mesh,
+            mesh=mesh, fixed_max=fixed_max,
         ).astype(jnp.float32)
         if do_cfg:
             uncond_pred, cond_pred = jnp.split(noise_pred, 2, axis=0)
@@ -740,8 +764,87 @@ def _denoise(
                                old_x0, sde_noise)
         return (new_lat.astype(dtype), x0), None
 
-    init = (latents, jnp.zeros(latents.shape, jnp.float32))
-    (latents, _), _ = jax.lax.scan(body, init, jnp.arange(plan.num_steps))
+    (latents, old_x0), _ = jax.lax.scan(
+        body, (latents, old_x0), step_start + jnp.arange(seg_len)
+    )
+    return latents, old_x0
+
+
+def _denoise_seg_len(num_steps: int) -> int:
+    """Steps per device program. The tunneled v5e worker CRASHES ("TPU worker
+    process crashed or restarted") on single programs running more than a few
+    minutes: the 50-step CFG-pair denoise (~250 s on-device) reproducibly
+    died while 12 steps (~80 s) ran fine — so long scans are split into
+    bounded segments. AETHER_DENOISE_SEG overrides (0 = never split); CPU
+    never splits (no watchdog, and one scan compiles faster)."""
+    import os
+
+    env = os.environ.get("AETHER_DENOISE_SEG")
+    if env is not None:
+        seg = int(env)
+    else:
+        seg = 12 if jax.default_backend() not in ("cpu",) else 0
+    if seg <= 0:
+        return num_steps
+    return min(seg, num_steps)
+
+
+def _denoise(
+    config: PipelineConfig,
+    attn_impl: str,
+    compute_dtype,
+    task: str,
+    do_cfg: bool,
+    dit_params: Dict[str, Any],
+    empty_prompt_embeds: jnp.ndarray,
+    condition_latents: jnp.ndarray,
+    plan: SamplingPlan,
+    guidance: jnp.ndarray,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    key: jax.Array,
+    act_quant: bool = False,
+    mesh=None,
+    broadcast_noise: bool = False,
+    fixed_max: bool = False,
+) -> jnp.ndarray:
+    """Denoise driver: init noise + the scan in bounded jitted segments.
+
+    Returns the final (B, F_lat, 56, h, w) latents. Segment chaining is
+    bit-identical to one long scan (absolute step indexing everywhere); see
+    :func:`_denoise_seg_len` for why segmentation exists.
+
+    ``broadcast_noise``: draw the init/SDE noise once and broadcast it over
+    the batch. A serial loop seeded identically gives every window the SAME
+    noise stream (the reference re-seeds its generator per call,
+    ``demo.py:42-49``), so the batched multi-window path uses this to be
+    bit-identical to — and composition-invariant with — the serial path.
+    """
+    dtype = compute_dtype
+    b, f_lat, _, h_lat, w_lat = condition_latents.shape
+
+    key_noise, key_sde = jax.random.split(key)
+    noise_b = 1 if broadcast_noise else b
+    latents = jnp.broadcast_to(
+        jax.random.normal(key_noise, (noise_b, f_lat, 56, h_lat, w_lat),
+                          jnp.float32) * plan.init_noise_sigma,
+        (b, f_lat, 56, h_lat, w_lat),
+    ).astype(dtype)
+    old_x0 = jnp.zeros(latents.shape, jnp.float32)
+
+    total = int(plan.num_steps)
+    seg = _denoise_seg_len(total)
+    start = 0
+    while start < total:
+        n = min(seg, total - start)
+        latents, old_x0 = _denoise_segment(
+            config, attn_impl, compute_dtype, task, do_cfg, dit_params,
+            empty_prompt_embeds, condition_latents, plan, guidance, rope_cos,
+            rope_sin, key_sde, latents, old_x0, jnp.asarray(start, jnp.int32),
+            seg_len=n, act_quant=act_quant, mesh=mesh,
+            broadcast_noise=broadcast_noise, fixed_max=fixed_max,
+        )
+        start += n
     return latents
 
 
@@ -1009,6 +1112,8 @@ class AetherPipeline:
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
         # NOTE: _denoise dispatches asynchronously — the timer records enqueue
         # + any compile, not device latency; listeners use it as a stage marker
+        from aether_tpu.models.dit import use_fixed_max_default
+
         with mesh_ctx, stage_timer("denoise", log=False):
             latents = _denoise(
                 cfgd, self.attn_impl, dtype, task, do_cfg,
@@ -1016,6 +1121,7 @@ class AetherPipeline:
                 plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
                 jnp.asarray(rope_sin), key_denoise,
                 act_quant=self.act_quant, mesh=self.mesh,
+                fixed_max=use_fixed_max_default(),
             )
 
         # ---- stage 3: chunked VAE decode + output transforms ----
@@ -1028,32 +1134,34 @@ class AetherPipeline:
 
         decode_stage = stage_timer("vae_decode", log=False)
         decode_stage.__enter__()
-        rgb = decode(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
-        packed = _finish_rgb(rgb, rgb_mode)
-        rgb_wire = None
-        if rgb_mode == "yuv420":
-            # 1.5 B/px on the wire; reassembled on host below. Drop the
-            # decoded full-res buffer so the resolve closure does not pin
-            # ~85 MB of HBM across the next window under defer_host.
-            rgb_wire = tuple(_start_pull(p[0]) for p in packed)
-            rgb = None
-        else:
-            # start the big rgb pull NOW so it rides the link while the
-            # disparity decode computes (D2H is slow enough to hide a decode)
-            rgb = _start_pull(packed[0][0])
+        try:
+            rgb = decode(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
+            packed = _finish_rgb(rgb, rgb_mode)
+            rgb_wire = None
+            if rgb_mode == "yuv420":
+                # 1.5 B/px on the wire; reassembled on host below. Drop the
+                # decoded full-res buffer so the resolve closure does not pin
+                # ~85 MB of HBM across the next window under defer_host.
+                rgb_wire = tuple(_start_pull(p[0]) for p in packed)
+                rgb = None
+            else:
+                # start the big rgb pull NOW so it rides the link while the
+                # disparity decode computes (D2H is slow enough to hide a decode)
+                rgb = _start_pull(packed[0][0])
 
-        disparity = decode(
-            cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
-        )
-        disp_u8 = disp_mode == "u8"
-        disparity = _start_pull(_finish_disparity(disparity, disp_mode)[0])
+            disparity = decode(
+                cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
+            )
+            disp_u8 = disp_mode == "u8"
+            disparity = _start_pull(_finish_disparity(disparity, disp_mode)[0])
 
-        raymap_out = _start_pull(
-            unpack_raymap(
-                latents[:, :, 2 * lat_c :].astype(jnp.float32), num_frames
-            )[0]
-        )
-        decode_stage.__exit__(None, None, None)
+            raymap_out = _start_pull(
+                unpack_raymap(
+                    latents[:, :, 2 * lat_c :].astype(jnp.float32), num_frames
+                )[0]
+            )
+        finally:
+            decode_stage.__exit__(None, None, None)
 
         def _resolve() -> AetherPipelineOutput:
             if rgb_wire is not None:
@@ -1168,13 +1276,15 @@ class AetherPipeline:
 
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
         with mesh_ctx:
+            from aether_tpu.models.dit import use_fixed_max_default
+
             latents = _denoise(
                 cfg, self.attn_impl, dtype, "reconstruction", False,
                 self.dit_params, self.empty_prompt_embeds, condition_latents,
                 plan, jnp.asarray(guidance), jnp.asarray(rope_cos),
                 jnp.asarray(rope_sin), key_denoise,
                 act_quant=self.act_quant, mesh=self.mesh,
-                broadcast_noise=True,
+                broadcast_noise=True, fixed_max=use_fixed_max_default(),
             )
 
         lat_c = cfg.vae.latent_channels

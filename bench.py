@@ -378,29 +378,22 @@ def _run_child(mode: str, attempts: int, tag: str,
 def _main_with_process_retry() -> int:
     """Orchestrate the measurement children and print ONE merged JSON line.
 
-    On accelerators the reconstruction suite ("full") and the 50-step
-    CFG-pair prediction ("pred") run in SEPARATE child processes: the
-    prediction once wedged the tunneled chip, and process isolation keeps a
-    wedge there from nulling the headline metrics (each child also gets a
-    fresh device client). CPU runs stay single-child ("all").
+    The reconstruction suite ("full") and the CFG-pair prediction ("pred")
+    run in SEPARATE child processes on every platform: the prediction once
+    wedged the tunneled chip, and process isolation keeps a wedge there from
+    nulling the headline metrics (each child also gets a fresh device
+    client). Backend detection happens in the child (the parent must never
+    initialize a device client of its own).
     """
     if os.environ.get("AETHER_BENCH_CHILD") == "1":
         return main() or 0
 
     attempts = int(os.environ.get("AETHER_BENCH_ATTEMPTS", "5"))
-    on_accel = os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and \
-        os.environ.get("JAX_PLATFORM_NAME", "") not in ("cpu",)
-    if not on_accel:
-        result = _run_child("all", attempts, "all")
-        if result is None:
-            return 1
-        print(json.dumps(result))
-        return 0
-
     result = _run_child("full", attempts, "full")
     if result is None:
         return 1
-    time.sleep(90.0)  # back-to-back tunnel clients hang in device init
+    if result.get("backend") != "cpu":
+        time.sleep(90.0)  # back-to-back tunnel clients hang in device init
     pred = _run_child("pred", 1, "pred", timeout_s=3600.0)
     if pred and pred.get("_pred"):
         result["pred_e2e_s"] = pred["_pred"]["pred_e2e_s"]

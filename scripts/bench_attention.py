@@ -56,21 +56,20 @@ def main():
     results = {}
     ref_out = None
     variants = [
-        # (block_q, block_k, denom, mask_last_only, fixed_max)
-        (1024, 1024, "vpu", False, False),   # round-1 baseline behavior
-        (1024, 1024, "mxu", False, False),   # current default
-        (1024, 1024, "mxu", False, True),    # fixed-max (QK-norm bound)
-        (512, 1024, "mxu", False, True),
-        (1024, 512, "mxu", False, True),
-        (2048, 512, "mxu", False, True),
+        # (block_q, block_k, denom, fixed_max)
+        (1024, 1024, "vpu", False),   # round-1 baseline behavior
+        (1024, 1024, "mxu", False),   # current default
+        (1024, 1024, "mxu", True),    # fixed-max (QK-norm bound)
+        (512, 1024, "mxu", True),
+        (1024, 512, "mxu", True),
+        (2048, 512, "mxu", True),
     ]
-    for bq, bk, denom, mlast, fmax in variants:
-        name = (f"ours bq={bq} bk={bk} denom={denom} mlast={int(mlast)} "
-                f"fmax={int(fmax)}")
+    for bq, bk, denom, fmax in variants:
+        name = f"ours bq={bq} bk={bk} denom={denom} fmax={int(fmax)}"
         try:
             ms, out = timeit(functools.partial(
                 flash_attention, block_q=bq, block_k=bk, denom=denom,
-                mask_last_only=mlast, fixed_max=fmax), q, k, v)
+                fixed_max=fmax), q, k, v)
             results[name] = ms
             if ref_out is None:
                 ref_out = out

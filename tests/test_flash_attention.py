@@ -122,19 +122,32 @@ def test_flash_train_gradient_matches_reference():
                                    atol=5e-3, rtol=1e-2)
 
 
-@pytest.mark.parametrize("denom,mask_last", [("mxu", False), ("mxu", True),
-                                             ("vpu", True)])
-def test_kernel_variants_match_reference(denom, mask_last):
-    """The denom=mxu (ones-column PV matmul) and mask-last-only tuning knobs
-    must be numerically equivalent to the baseline kernel, including with
-    padded kv positions."""
+@pytest.mark.parametrize("denom", ["mxu", "vpu"])
+def test_kernel_variants_match_reference(denom):
+    """The denom=mxu (ones-column PV matmul) knob must be numerically
+    equivalent to the baseline kernel, including with padded kv positions."""
     rng = np.random.default_rng(9)
     q, k, v = (jnp.asarray(rng.normal(size=(1, 2, 300, 64)), jnp.float32)
                for _ in range(3))
     ref = attention_reference(q, k, v)
     out = flash_attention(q, k, v, block_q=128, block_k=128, denom=denom,
-                          mask_last_only=mask_last, interpret=True)
+                          interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_head_dim_128_falls_back_to_vpu_denom():
+    """denom=mxu has no spare lane for the ones column at head_dim >= 128;
+    the kernel must fall back instead of emitting a negative pad width."""
+    rng = np.random.default_rng(21)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 2, 256, 128)), jnp.float32)
+               for _ in range(3))
+    ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+    # fixed_max depends on the mxu layout and must fall back too
+    out2 = flash_attention(q, k, v, block_q=128, block_k=128, fixed_max=True,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=3e-5)
 
 
 def test_fixed_max_matches_reference_qk_normed():

@@ -536,3 +536,19 @@ def test_batch_reconstruct_matches_serial_calls(tiny_pipeline, rng):
         np.testing.assert_allclose(b.rgb, s.rgb, atol=2e-4)
         np.testing.assert_allclose(b.disparity, s.disparity, atol=2e-4)
         np.testing.assert_allclose(b.raymap, s.raymap, atol=2e-4)
+
+
+def test_segmented_denoise_matches_single_scan(tiny_pipeline, rng, monkeypatch):
+    """Splitting the denoise scan into bounded segments (the tunneled-worker
+    watchdog workaround) must be bit-identical to one long scan: absolute
+    step indexing for plan/guidance/SDE keys."""
+    image = (rng.uniform(0, 1, (64, 96, 3)) * 255).astype(np.uint8)
+    kw = dict(task="prediction", image=image, height=64, width=96,
+              num_frames=17, num_inference_steps=5, fps=12, seed=9)
+    monkeypatch.delenv("AETHER_DENOISE_SEG", raising=False)
+    ref = tiny_pipeline(**kw)
+    monkeypatch.setenv("AETHER_DENOISE_SEG", "2")  # segments of 2,2,1
+    seg = tiny_pipeline(**kw)
+    np.testing.assert_array_equal(seg.rgb, ref.rgb)
+    np.testing.assert_array_equal(seg.disparity, ref.disparity)
+    np.testing.assert_array_equal(seg.raymap, ref.raymap)
