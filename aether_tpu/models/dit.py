@@ -421,19 +421,21 @@ def _ada_modulate(
 
 
 def use_fixed_max_default() -> bool:
-    """Opt-in fixed-softmax-max attention (AETHER_ATTN_FIXED_MAX=1).
+    """Fixed-softmax-max attention default (disable with
+    AETHER_ATTN_FIXED_MAX=0).
 
     The DiT's attention is always QK-normalized, which is exactly the
     precondition for the kernel's a-priori score bound (see
-    ``ops/flash_attention.py::_flash_kernel_fixed_max``); env-gated until the
-    on-chip speedup is recorded in BASELINE.md. NOTE: this is resolved at
-    TRACE time — jitted callers must read it outside jit and pass
-    ``fixed_max`` explicitly (the pipeline does), or a cached executable
-    silently ignores later env toggles.
+    ``ops/flash_attention.py::_flash_kernel_fixed_max``) — ON by default
+    after the on-chip sweep measured 36.2 ms vs 38.1 at the 48h x 15k x 64
+    window (BASELINE.md round 2). NOTE: this is resolved at TRACE time —
+    jitted callers must read it outside jit and pass ``fixed_max`` explicitly
+    (the pipeline does), or a cached executable silently ignores later env
+    toggles.
     """
     import os
 
-    return os.environ.get("AETHER_ATTN_FIXED_MAX", "0") == "1"
+    return os.environ.get("AETHER_ATTN_FIXED_MAX", "1") == "1"
 
 
 def _sharded_flash_attention(
