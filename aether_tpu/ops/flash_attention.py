@@ -169,14 +169,22 @@ def _flash_kernel_fixed_max(
     group — tight enough for QK-NORMALIZED attention, see
     :func:`flash_attention`), the online-softmax machinery collapses:
     ``p = exp2(s - m)`` needs no running max, no alpha rescale, no m-scratch
-    RMW — the only per-element VPU work left on the score tile is the mask
-    select and one exp2. Softmax is shift-invariant, so any valid upper bound
-    gives the exact result as long as ``row_max - m`` stays above exp2's
-    underflow (~-126): guaranteed when the bound is within ~100 of the true
-    row max, which QK-norm enforces by construction. Denominator rides the PV
-    matmul (128-lane [v | ones | 0] tile).
+    RMW — the only per-element VPU work left on the score tile is one exp2.
+    Softmax is shift-invariant, so any valid upper bound gives the exact
+    result as long as ``row_max - m`` stays above exp2's underflow (~-126):
+    guaranteed when the bound is within ~100 of the true row max, which
+    QK-norm enforces by construction. Denominator rides the PV matmul
+    (128-lane [v | ones | 0] tile).
+
+    No kv-padding mask either: without a running max, padded (zero) k rows
+    merely produce a harmless p = 2^-m weight, and the caller zero-pads BOTH
+    the v rows AND their ones-column, so padded rows contribute exactly
+    nothing to the numerator or the denominator. (The online-max kernel
+    cannot do this: zero-padding pins its running max at 0 and underflows
+    every real score when they are all very negative.)
     """
     kv_idx = pl.program_id(2)
+    del kv_len, block_k  # padding handled via the zeroed ones-column
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -191,11 +199,6 @@ def _flash_kernel_fixed_max(
         (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (hper, block_q, block_k), log2-domain scores
-
-    if kv_len < num_kv_blocks * block_k:
-        col = (kv_idx * block_k
-               + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2))
-        s = jnp.where(col < kv_len, s, _NEG_INF)
 
     p = jnp.exp2(s - mmax_ref[pl.program_id(0)])  # (hper, block_q, block_k)
 
@@ -321,7 +324,6 @@ def flash_attention(
 
     qp = _pad(q).reshape(bh, seq_pad, dim)
     kp = _pad(k).reshape(bh, seq_pad, dim)
-    vp = _pad(v).reshape(bh, seq_pad, dim)
     dim_v = dim
     if dim >= 128:
         # no spare lane for the ones column in a 128-lane tile: fall back to
@@ -334,14 +336,19 @@ def flash_attention(
         # [v | ones | zeros] padded to a full 128-lane tile (a dim+1 tile is
         # catastrophically misaligned: 130-byte rows; measured 2x slowdown).
         # The PV matmul then emits [o | sum(p)] in the same MXU pass (N <= 128
-        # costs the same as N=64 at head_dim 64). Padded kv rows carry ones
-        # too, but their p is exactly 0 (masked to _NEG_INF -> exp2
-        # underflows), so they add nothing to l.
+        # costs the same as N=64 at head_dim 64). The ones column is built
+        # BEFORE seq padding, so padded kv rows carry a ZERO there: with
+        # fixed_max that alone excludes them from the denominator (no mask
+        # pass in the kernel at all); the online-max kernel masks their
+        # scores to _NEG_INF anyway.
         dim_v = 128
-        vp = jnp.concatenate(
-            [vp, jnp.ones((bh, seq_pad, 1), v.dtype),
-             jnp.zeros((bh, seq_pad, dim_v - dim - 1), v.dtype)], axis=-1
+        v_ext = jnp.concatenate(
+            [v, jnp.ones((*v.shape[:-1], 1), v.dtype),
+             jnp.zeros((*v.shape[:-1], dim_v - dim - 1), v.dtype)], axis=-1
         )
+        vp = _pad(v_ext).reshape(bh, seq_pad, dim_v)
+    else:
+        vp = _pad(v).reshape(bh, seq_pad, dim)
 
     num_q_blocks = seq_pad // block_q
     num_kv_blocks = seq_pad // block_k
