@@ -416,19 +416,19 @@ def make_handler(runner: JobRunner, raymap_dir: Optional[str]):
                 self.end_headers()
                 self.wfile.write(data)
             elif self.path == "/api/raymaps":
+                # union of canned .npy blobs (when a dir is configured) and
+                # the generated camera actions — submit accepts both, so the
+                # listing must too (the reference ships canned raymap blobs;
+                # ours are synthesized on demand, apps/actions.py)
+                from aether_tpu.apps.actions import NAMED_ACTIONS
+
+                names = set(NAMED_ACTIONS)
                 if raymap_dir and os.path.isdir(raymap_dir):
-                    names = sorted(
+                    names |= {
                         os.path.splitext(f)[0].replace("raymap_", "")
                         for f in os.listdir(raymap_dir) if f.endswith(".npy")
-                    )
-                else:
-                    # no canned .npy directory: offer the generated camera
-                    # actions (the reference ships canned raymap blobs; ours
-                    # are synthesized on demand, apps/actions.py)
-                    from aether_tpu.apps.actions import NAMED_ACTIONS
-
-                    names = sorted(NAMED_ACTIONS)
-                self._json(names)
+                    }
+                self._json(sorted(names))
             elif self.path.startswith("/api/status/"):
                 status = runner.status(self.path.rsplit("/", 1)[-1])
                 if status is None:
@@ -519,17 +519,24 @@ def _fields_to_params(fields: dict, raymap_dir: Optional[str]) -> dict:
             params["goal_array"] = _decode_image(fields["goal"])
     name = fields.get("raymap")
     if name:
-        path = os.path.join(raymap_dir or "", f"raymap_{name}.npy")
-        if os.path.isfile(path):
+        path = (os.path.join(raymap_dir, f"raymap_{name}.npy")
+                if raymap_dir else None)  # never resolve relative to the CWD
+        if path and os.path.isfile(path):
             params["raymap_array"] = np.load(path)
         else:
             from aether_tpu.apps.actions import NAMED_ACTIONS, action_raymap
 
             if name not in NAMED_ACTIONS:
                 raise ValueError(f"unknown raymap action {name!r}")
+            # reconstruction slices the raymap per sliding window, so the
+            # generated action must span the WHOLE video, not one window
+            if task == "reconstruction":
+                length = len(params["video_array"])
+            else:
+                length = int(params.get("num_frames", 41))
             params["raymap_array"] = action_raymap(
                 name,
-                num_frames=int(params.get("num_frames", 41)),
+                num_frames=length,
                 height=int(params.get("height", 480)),
                 width=int(params.get("width", 720)),
             )

@@ -353,6 +353,25 @@ def flash_attention(
     num_q_blocks = seq_pad // block_q
     num_kv_blocks = seq_pad // block_k
 
+    # scaffolding shared by both kernels (any tuning change applies to both)
+    out_shape = jax.ShapeDtypeStruct((bh, seq_pad, dim), q.dtype)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=_vmem_limit_bytes(
+            block_q, block_k, hper, dim, q.dtype.itemsize
+        ),
+    )
+    cost_estimate = pl.CostEstimate(
+        flops=4 * bh * seq_pad * seq_pad * dim,
+        bytes_accessed=3 * bh * seq_pad * dim * q.dtype.itemsize
+        + bh * seq_pad * dim * q.dtype.itemsize,
+        transcendentals=bh * seq_pad * seq_pad,
+    )
+
+    def _finish(out):
+        out = out.reshape(batch, heads, seq_pad, dim)
+        return out[:, :, :seq] if seq_pad != seq else out
+
     if fixed_max:
         # per-head-group score upper bound (log2 domain; the sm_scale*log2e
         # fold is already inside q): max_row ||q|| * max_row ||k|| over each
@@ -371,7 +390,7 @@ def flash_attention(
                 num_kv_blocks=num_kv_blocks,
                 dim=dim,
             ),
-            out_shape=jax.ShapeDtypeStruct((bh, seq_pad, dim), q.dtype),
+            out_shape=out_shape,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(bh // hper, num_q_blocks, num_kv_blocks),
@@ -390,37 +409,22 @@ def flash_attention(
                     pltpu.VMEM((hper, block_q, dim_v), jnp.float32),
                 ],
             ),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
-                vmem_limit_bytes=_vmem_limit_bytes(
-                    block_q, block_k, hper, dim, q.dtype.itemsize
-                ),
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=4 * bh * seq_pad * seq_pad * dim,
-                bytes_accessed=3 * bh * seq_pad * dim * q.dtype.itemsize
-                + bh * seq_pad * dim * q.dtype.itemsize,
-                transcendentals=bh * seq_pad * seq_pad,
-            ),
+            compiler_params=compiler_params,
+            cost_estimate=cost_estimate,
             interpret=interpret,
         )(bounds, qp, kp, vp)
-        out = out.reshape(batch, heads, seq_pad, dim)
-        if seq_pad != seq:
-            out = out[:, :, :seq]
-        return out
-
-    kernel = functools.partial(
-        _flash_kernel,
-        kv_len=seq,
-        block_k=block_k,
-        num_kv_blocks=num_kv_blocks,
-        dim=dim,
-        denom=denom,
-    )
+        return _finish(out)
 
     out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, seq_pad, dim), q.dtype),
+        functools.partial(
+            _flash_kernel,
+            kv_len=seq,
+            block_k=block_k,
+            num_kv_blocks=num_kv_blocks,
+            dim=dim,
+            denom=denom,
+        ),
+        out_shape=out_shape,
         grid=(bh // hper, num_q_blocks, num_kv_blocks),
         in_specs=[
             pl.BlockSpec((hper, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
@@ -434,22 +438,8 @@ def flash_attention(
             pltpu.VMEM((hper, block_q, 128), jnp.float32),
             pltpu.VMEM((hper, block_q, dim_v), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_vmem_limit_bytes(
-                block_q, block_k, hper, dim, q.dtype.itemsize
-            ),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * seq_pad * seq_pad * dim,
-            bytes_accessed=3 * bh * seq_pad * dim * q.dtype.itemsize
-            + bh * seq_pad * dim * q.dtype.itemsize,
-            transcendentals=bh * seq_pad * seq_pad,
-        ),
+        compiler_params=compiler_params,
+        cost_estimate=cost_estimate,
         interpret=interpret,
     )(qp, kp, vp)
-
-    out = out.reshape(batch, heads, seq_pad, dim)
-    if seq_pad != seq:
-        out = out[:, :, :seq]
-    return out
+    return _finish(out)
