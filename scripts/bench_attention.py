@@ -56,20 +56,22 @@ def main():
     results = {}
     ref_out = None
     variants = [
-        # (block_q, block_k, denom, fixed_max)
-        (1024, 1024, "vpu", False),   # round-1 baseline behavior
-        (1024, 1024, "mxu", False),   # current default
-        (1024, 1024, "mxu", True),    # fixed-max (QK-norm bound)
-        (512, 1024, "mxu", True),
-        (1024, 512, "mxu", True),
-        (2048, 512, "mxu", True),
+        # (block_q, block_k, denom, fixed_max, heads_per_cell)
+        (1024, 1024, "vpu", False, 4),   # round-1 baseline behavior
+        (1024, 1024, "mxu", False, 4),
+        (1024, 1024, "mxu", True, 4),    # current DiT default
+        (1024, 1024, "mxu", True, 6),    # fixed_max freed m/l scratch VMEM
+        (512, 1024, "mxu", True, 6),
+        (512, 1024, "mxu", True, 8),
+        (1024, 512, "mxu", True, 6),
     ]
-    for bq, bk, denom, fmax in variants:
-        name = f"ours bq={bq} bk={bk} denom={denom} fmax={int(fmax)}"
+    for bq, bk, denom, fmax, hper in variants:
+        name = (f"ours bq={bq} bk={bk} denom={denom} fmax={int(fmax)} "
+                f"hper={hper}")
         try:
             ms, out = timeit(functools.partial(
                 flash_attention, block_q=bq, block_k=bk, denom=denom,
-                fixed_max=fmax), q, k, v)
+                fixed_max=fmax, heads_per_cell=hper), q, k, v)
             results[name] = ms
             if ref_out is None:
                 ref_out = out
