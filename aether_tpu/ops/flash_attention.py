@@ -161,6 +161,7 @@ def _flash_kernel_fixed_max(
     block_k: int,
     num_kv_blocks: int,
     dim: int,
+    noshift: bool = False,
 ):
     """Fixed-softmax-max attention cell (``fixed_max=True`` path).
 
@@ -182,6 +183,15 @@ def _flash_kernel_fixed_max(
     nothing to the numerator or the denominator. (The online-max kernel
     cannot do this: zero-padding pins its running max at 0 and underflows
     every real score when they are all very negative.)
+
+    ``noshift=True`` goes one step further and drops the shift altogether:
+    ``p = exp2(s)``. Softmax is shift-invariant, so the 2^-m factor cancels
+    exactly in the numerator/denominator ratio — the shift exists ONLY to
+    keep exp2 inside the f32/bf16 exponent range. When the caller's score
+    bound itself is < ~96 (log2 domain; always true under QK-norm), every
+    weight lies in [2^-96, 2^96] and the f32 accumulator tops out below
+    2^{96+log2(S)} << 2^128, so no shift is needed and the per-score VPU
+    work drops to the single exp2 (the broadcast subtract pass disappears).
     """
     kv_idx = pl.program_id(2)
     del kv_len, block_k  # padding handled via the zeroed ones-column
@@ -200,7 +210,10 @@ def _flash_kernel_fixed_max(
         preferred_element_type=jnp.float32,
     )  # (hper, block_q, block_k), log2-domain scores
 
-    p = jnp.exp2(s - mmax_ref[pl.program_id(0)])  # (hper, block_q, block_k)
+    if noshift:
+        p = jnp.exp2(s)  # (hper, block_q, block_k)
+    else:
+        p = jnp.exp2(s - mmax_ref[pl.program_id(0)])
 
     v = v_ref[...]  # (hper, block_k, 128): [v | ones | 0]
     acc_scratch[...] += jax.lax.dot_general(
@@ -264,7 +277,7 @@ def _pick_block(seq: int, requested: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_q", "block_k", "heads_per_cell",
-                     "interpret", "denom", "fixed_max"),
+                     "interpret", "denom", "fixed_max", "noshift"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -277,6 +290,7 @@ def flash_attention(
     interpret: bool = False,
     denom: str = "mxu",
     fixed_max: bool = False,
+    noshift: Optional[bool] = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, S, D]; full (non-causal) attention.
 
@@ -295,6 +309,16 @@ def flash_attention(
     unnormalized q/k whose score range is unbounded (an adversarial gap
     > ~100 between the bound and a row's max underflows that row's weights).
     See :func:`_flash_kernel_fixed_max`.
+
+    ``noshift`` (fixed_max only) drops even the fixed shift: ``p = exp2(s)``
+    raw, the 2^-m factor cancelling in the normalization. Valid whenever the
+    score bound itself is < ~96 in the log2 domain. ``None`` picks
+    automatically at RUNTIME via ``lax.cond`` on the already-computed bound;
+    ``True``/``False`` force one branch. Default ``False``: the on-chip A/B
+    at the 48h x 15k x 64 window measured the subtract-free kernel ~1 ms
+    SLOWER (36.9 vs 35.5 ms) — the broadcast scalar subtract rides the exp2
+    pipeline for free on v5e, so the shifted kernel stays the default and
+    noshift remains a bench knob only.
     """
     batch, heads, seq, dim = q.shape
     if sm_scale is None:
@@ -382,37 +406,54 @@ def flash_attention(
             bh // hper, hper
         ).max(axis=-1)  # (bh//hper,)
 
-        out = pl.pallas_call(
-            functools.partial(
-                _flash_kernel_fixed_max,
-                kv_len=seq,
-                block_k=block_k,
-                num_kv_blocks=num_kv_blocks,
-                dim=dim,
-            ),
-            out_shape=out_shape,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(bh // hper, num_q_blocks, num_kv_blocks),
-                # index maps receive the scalar-prefetch refs as trailing args
-                in_specs=[
-                    pl.BlockSpec((hper, block_q, dim),
-                                 lambda b, qi, ki, *_: (b, qi, 0)),
-                    pl.BlockSpec((hper, block_k, dim),
-                                 lambda b, qi, ki, *_: (b, ki, 0)),
-                    pl.BlockSpec((hper, block_k, dim_v),
-                                 lambda b, qi, ki, *_: (b, ki, 0)),
-                ],
-                out_specs=pl.BlockSpec((hper, block_q, dim),
-                                       lambda b, qi, ki, *_: (b, qi, 0)),
-                scratch_shapes=[
-                    pltpu.VMEM((hper, block_q, dim_v), jnp.float32),
-                ],
-            ),
-            compiler_params=compiler_params,
-            cost_estimate=cost_estimate,
-            interpret=interpret,
-        )(bounds, qp, kp, vp)
+        def _run_fixed(ns: bool):
+            return pl.pallas_call(
+                functools.partial(
+                    _flash_kernel_fixed_max,
+                    kv_len=seq,
+                    block_k=block_k,
+                    num_kv_blocks=num_kv_blocks,
+                    dim=dim,
+                    noshift=ns,
+                ),
+                out_shape=out_shape,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(bh // hper, num_q_blocks, num_kv_blocks),
+                    # index maps receive the scalar-prefetch refs as trailing
+                    # args
+                    in_specs=[
+                        pl.BlockSpec((hper, block_q, dim),
+                                     lambda b, qi, ki, *_: (b, qi, 0)),
+                        pl.BlockSpec((hper, block_k, dim),
+                                     lambda b, qi, ki, *_: (b, ki, 0)),
+                        pl.BlockSpec((hper, block_k, dim_v),
+                                     lambda b, qi, ki, *_: (b, ki, 0)),
+                    ],
+                    out_specs=pl.BlockSpec((hper, block_q, dim),
+                                           lambda b, qi, ki, *_: (b, qi, 0)),
+                    scratch_shapes=[
+                        pltpu.VMEM((hper, block_q, dim_v), jnp.float32),
+                    ],
+                ),
+                compiler_params=compiler_params,
+                cost_estimate=cost_estimate,
+                interpret=interpret,
+            )(bounds, qp, kp, vp)
+
+        if noshift is None:
+            # runtime auto-pick: exp2(s) raw stays in the f32/bf16 exponent
+            # range iff every |score| < ~96 (bound is symmetric: |s| <=
+            # ||q||*||k||). QK-normed attention always lands in the noshift
+            # branch; adversarial unbounded inputs fall back to the shifted
+            # kernel. Both branches compile once; cond picks per call.
+            out = jax.lax.cond(
+                jnp.max(bounds) < 96.0,
+                lambda: _run_fixed(True),
+                lambda: _run_fixed(False),
+            )
+        else:
+            out = _run_fixed(noshift)
         return _finish(out)
 
     out = pl.pallas_call(

@@ -56,22 +56,24 @@ def main():
     results = {}
     ref_out = None
     variants = [
-        # (block_q, block_k, denom, fixed_max, heads_per_cell)
-        (1024, 1024, "vpu", False, 4),   # round-1 baseline behavior
-        (1024, 1024, "mxu", False, 4),
-        (1024, 1024, "mxu", True, 4),    # current DiT default
-        (1024, 1024, "mxu", True, 6),    # fixed_max freed m/l scratch VMEM
-        (512, 1024, "mxu", True, 6),
-        (512, 1024, "mxu", True, 8),
-        (1024, 512, "mxu", True, 6),
+        # (block_q, block_k, denom, fixed_max, heads_per_cell, noshift)
+        (1024, 1024, "mxu", True, 4, False),  # round-2 DiT default (shifted)
+        (1024, 1024, "mxu", True, 4, True),   # subtract-free A/B
+        # lcm-friendly geometries: same 15360 padding, fewer q tiles ->
+        # k/v HBM refetch drops (15 tiles at bq=1024 vs 8/6/4)
+        (1920, 960, "mxu", True, 2, True),
+        (1280, 1280, "mxu", True, 2, True),
+        (2560, 1280, "mxu", True, 1, True),
+        (3840, 1280, "mxu", True, 1, True),
+        (1920, 960, "mxu", True, 2, False),
     ]
-    for bq, bk, denom, fmax, hper in variants:
+    for bq, bk, denom, fmax, hper, ns in variants:
         name = (f"ours bq={bq} bk={bk} denom={denom} fmax={int(fmax)} "
-                f"hper={hper}")
+                f"hper={hper} ns={int(bool(ns))}")
         try:
             ms, out = timeit(functools.partial(
                 flash_attention, block_q=bq, block_k=bk, denom=denom,
-                fixed_max=fmax, heads_per_cell=hper), q, k, v)
+                fixed_max=fmax, heads_per_cell=hper, noshift=ns), q, k, v)
             results[name] = ms
             if ref_out is None:
                 ref_out = out

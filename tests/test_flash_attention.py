@@ -150,6 +150,45 @@ def test_head_dim_128_falls_back_to_vpu_denom():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=3e-5)
 
 
+def test_noshift_matches_reference_bounded_scores():
+    """noshift (p = exp2(s) raw, shift cancelled by normalization) must be
+    exact for bounded-score inputs, in both forced and auto (lax.cond) mode,
+    including padded kv positions and bf16."""
+    rng = np.random.default_rng(17)
+    for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+        q, k, v = (jnp.asarray(rng.normal(size=(1, 4, 300, 64)), dtype)
+                   for _ in range(3))
+        ref = attention_reference(q, k, v).astype(jnp.float32)
+        for ns in (True, None):
+            out = flash_attention(q, k, v, block_q=128, block_k=128,
+                                  fixed_max=True, noshift=ns, interpret=True
+                                  ).astype(jnp.float32)
+            assert float(jnp.max(jnp.abs(out - ref))) < tol, (dtype, ns)
+
+
+def test_noshift_auto_falls_back_on_large_scores():
+    """Scores ~200 in the log2 domain overflow exp2 in the noshift kernel;
+    the auto (noshift=None) cond must route such inputs to the shifted
+    fixed-max kernel and stay exact. Constructed with aligned q/k rows so the
+    Cauchy-Schwarz bound is TIGHT (gap << exp2 underflow margin) — the
+    fixed-max path itself remains valid, only the shift is mandatory."""
+    rng = np.random.default_rng(19)
+    d = 64
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    # ||q||*||k||*sm_scale*log2e ~ 200 >> the 96 threshold
+    qn = 33.0 * (1 + 0.05 * rng.random(size=(1, 2, 300, 1)))
+    kn = 33.0 * (1 + 0.05 * rng.random(size=(1, 2, 300, 1)))
+    q = jnp.asarray(qn * direction, jnp.float32)
+    k = jnp.asarray(kn * direction, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 300, d)), jnp.float32)
+    ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128,
+                          fixed_max=True, noshift=None, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_fixed_max_matches_reference_qk_normed():
     """fixed_max (a-priori Cauchy-Schwarz score bound) must be exact for
     QK-norm-style bounded inputs, including padded kv positions and bf16."""
