@@ -442,7 +442,7 @@ def _sharded_flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh, interpret: bool,
     fixed_max: bool = False,
 ) -> jnp.ndarray:
-    """Partition the Pallas flash kernel over a ('dp', 'tp') mesh.
+    """Partition the Pallas flash kernel over a ('dp', 'tp'[, 'sp']) mesh.
 
     ``pallas_call`` is an opaque custom call to GSPMD: without this wrapper the
     tp-sharded q/k/v (heads split by the Megatron qkv projections) would be
@@ -452,24 +452,54 @@ def _sharded_flash_attention(
     kernel on exactly its own heads — zero collectives, attention scales
     linearly with tp. Head-count divisibility is required for 'tp' (the 48-head
     flagship divides any pow2 tp <= 16); otherwise that axis stays replicated.
+
+    'sp' (sequence/context parallelism, for scaling past tp=heads onto pods)
+    additionally splits the QUERY token axis: each shard all-gathers K/V over
+    'sp' (one ICI collective per attention) and runs its q-stripe against the
+    full sequence — exact, composes with dp x tp, and the S^2 attention FLOPs
+    scale 1/sp per chip. The token axis is padded to an sp multiple; padded
+    q rows are sliced off on return and padded K/V rows are excluded exactly
+    via the kernel's ``kv_valid`` mask.
     """
     from jax.sharding import PartitionSpec as P
 
-    b, nh = q.shape[0], q.shape[1]
+    b, nh, seq = q.shape[0], q.shape[1], q.shape[2]
     tp = mesh.shape.get("tp", 1)
     dp = mesh.shape.get("dp", 1)
+    sp = mesh.shape.get("sp", 1)
     head_axis = "tp" if tp > 1 and nh % tp == 0 else None
     batch_axis = "dp" if dp > 1 and b % dp == 0 else None
-    if head_axis is None and batch_axis is None:
+    seq_axis = "sp" if sp > 1 else None
+    if head_axis is None and batch_axis is None and seq_axis is None:
         return flash_attention(q, k, v, interpret=interpret,
                                fixed_max=fixed_max)
-    spec = P(batch_axis, head_axis, None, None)
-    fn = functools.partial(flash_attention, interpret=interpret,
-                           fixed_max=fixed_max)
-    return jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_vma=False,
+    if seq_axis is None:
+        spec = P(batch_axis, head_axis, None, None)
+        fn = functools.partial(flash_attention, interpret=interpret,
+                               fixed_max=fixed_max)
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )(q, k, v)
+
+    seq_pad = -(-seq // sp) * sp
+    if seq_pad != seq:
+        pad = ((0, 0), (0, 0), (0, seq_pad - seq), (0, 0))
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    spec = P(batch_axis, head_axis, seq_axis, None)
+
+    def _sp_attention(q_s, k_s, v_s):
+        k_full = jax.lax.all_gather(k_s, "sp", axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v_s, "sp", axis=2, tiled=True)
+        return flash_attention(q_s, k_full, v_full, interpret=interpret,
+                               fixed_max=fixed_max,
+                               kv_valid=seq if seq_pad != seq else None)
+
+    out = jax.shard_map(
+        _sp_attention, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=spec, check_vma=False,
     )(q, k, v)
+    return out[:, :, :seq] if seq_pad != seq else out
 
 
 def _attention(

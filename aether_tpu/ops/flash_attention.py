@@ -41,7 +41,6 @@ Design notes (TPU, measured on v5e at the 48-head 15k-token window):
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -277,7 +276,7 @@ def _pick_block(seq: int, requested: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_q", "block_k", "heads_per_cell",
-                     "interpret", "denom", "fixed_max", "noshift"),
+                     "interpret", "denom", "fixed_max", "noshift", "kv_valid"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -291,16 +290,28 @@ def flash_attention(
     denom: str = "mxu",
     fixed_max: bool = False,
     noshift: Optional[bool] = False,
+    kv_valid: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Flash attention over [B, H, S, D]; full (non-causal) attention.
+    """Flash attention over q [B, H, Sq, D] x k/v [B, H, Skv, D]; full
+    (non-causal) attention. Sq == Skv for self-attention; Sq < Skv is the
+    sequence-parallel path (each shard's q stripe against the gathered full
+    K/V).
 
-    S is padded internally to a block multiple; padded keys are masked and
-    padded query rows are sliced away on return. ``heads_per_cell`` is clamped
-    to the largest divisor of B*H not exceeding it. ``denom`` is a kernel
-    tuning knob (see :func:`_flash_kernel`); a lax.cond-predicated
-    "mask only the last kv block" experiment was REMOVED — it doubled kernel
-    time on v5e (Mosaic value-returning cond) and was wrong whenever
-    lcm(block_q, block_k) > block_k spreads padding over several kv blocks.
+    ``kv_valid``: treat only the first ``kv_valid`` key/value rows as real
+    (the tail is caller-side padding, e.g. the gathered KV of a
+    sequence-parallel shard whose global length was padded to the shard
+    count). Padded k/v rows are zeroed in the wrapper and masked exactly in
+    both kernels; queries are NOT truncated (the caller slices its own
+    padded q rows).
+
+    Sq and Skv are padded independently to block_q / block_k multiples;
+    padded keys are masked and padded query rows are sliced away on return.
+    ``heads_per_cell`` is clamped to the largest divisor of B*H not exceeding
+    it. ``denom`` is a kernel tuning knob (see :func:`_flash_kernel`); a
+    lax.cond-predicated "mask only the last kv block" experiment was REMOVED —
+    it doubled kernel time on v5e (Mosaic value-returning cond) and was wrong
+    whenever lcm(block_q, block_k) > block_k spreads padding over several kv
+    blocks.
 
     ``fixed_max=True`` replaces the online running max with a per-head-group
     Cauchy-Schwarz score bound computed outside the kernel — exact for
@@ -320,17 +331,22 @@ def flash_attention(
     pipeline for free on v5e, so the shifted kernel stays the default and
     noshift remains a bench knob only.
     """
-    batch, heads, seq, dim = q.shape
+    batch, heads, q_len, dim = q.shape
+    kv_len_in = k.shape[2]
     if sm_scale is None:
         sm_scale = 1.0 / (dim**0.5)
 
-    block_q = _pick_block(seq, block_q)
-    block_k = _pick_block(seq, block_k)
-    step = math.lcm(block_q, block_k)
-    if -(-seq // step) * step - seq > 0.2 * seq:
-        # asymmetric caller blocks whose lcm balloons padding (e.g. 1536 x
-        # 1152 at 15076 would pad 83%): fall back to symmetric blocks
-        block_k = block_q = min(block_q, block_k)
+    kv_len_eff = kv_len_in if kv_valid is None else min(kv_valid, kv_len_in)
+    if kv_len_eff < kv_len_in:
+        # zero the caller-padding tail so the fixed-max path's numerator and
+        # score bound ignore it (its ones-column entry is zeroed below; the
+        # online-max kernel additionally masks the scores by kv_len)
+        kv_mask = (jnp.arange(kv_len_in) < kv_len_eff)[None, None, :, None]
+        k = jnp.where(kv_mask, k, jnp.zeros((), k.dtype))
+        v = jnp.where(kv_mask, v, jnp.zeros((), v.dtype))
+
+    block_q = _pick_block(q_len, block_q)
+    block_k = _pick_block(kv_len_in, block_k)
 
     bh = batch * heads
     hper = max(h for h in range(1, min(heads_per_cell, bh) + 1) if bh % h == 0)
@@ -338,16 +354,19 @@ def flash_attention(
     # log2-domain softmax with the scale folded into q
     q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
 
-    step = math.lcm(block_q, block_k)
-    seq_pad = -(-seq // step) * step
+    # q and kv pad independently (they need not share a length: the
+    # sequence-parallel path runs a q stripe against the full gathered K/V)
+    q_pad_len = -(-q_len // block_q) * block_q
+    kv_pad_len = -(-kv_len_in // block_k) * block_k
 
-    def _pad(x):
-        if seq_pad == seq:
+    def _pad_to(x, target):
+        cur = x.shape[2]
+        if target == cur:
             return x
-        return jnp.pad(x, ((0, 0), (0, 0), (0, seq_pad - seq), (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, target - cur), (0, 0)))
 
-    qp = _pad(q).reshape(bh, seq_pad, dim)
-    kp = _pad(k).reshape(bh, seq_pad, dim)
+    qp = _pad_to(q, q_pad_len).reshape(bh, q_pad_len, dim)
+    kp = _pad_to(k, kv_pad_len).reshape(bh, kv_pad_len, dim)
     dim_v = dim
     if dim >= 128:
         # no spare lane for the ones column in a 128-lane tile: fall back to
@@ -366,19 +385,26 @@ def flash_attention(
         # pass in the kernel at all); the online-max kernel masks their
         # scores to _NEG_INF anyway.
         dim_v = 128
+        if kv_len_eff < kv_len_in:
+            ones_col = jnp.broadcast_to(
+                (jnp.arange(kv_len_in) < kv_len_eff)[None, None, :, None],
+                (*v.shape[:-1], 1),
+            ).astype(v.dtype)
+        else:
+            ones_col = jnp.ones((*v.shape[:-1], 1), v.dtype)
         v_ext = jnp.concatenate(
-            [v, jnp.ones((*v.shape[:-1], 1), v.dtype),
+            [v, ones_col,
              jnp.zeros((*v.shape[:-1], dim_v - dim - 1), v.dtype)], axis=-1
         )
-        vp = _pad(v_ext).reshape(bh, seq_pad, dim_v)
+        vp = _pad_to(v_ext, kv_pad_len).reshape(bh, kv_pad_len, dim_v)
     else:
-        vp = _pad(v).reshape(bh, seq_pad, dim)
+        vp = _pad_to(v, kv_pad_len).reshape(bh, kv_pad_len, dim)
 
-    num_q_blocks = seq_pad // block_q
-    num_kv_blocks = seq_pad // block_k
+    num_q_blocks = q_pad_len // block_q
+    num_kv_blocks = kv_pad_len // block_k
 
     # scaffolding shared by both kernels (any tuning change applies to both)
-    out_shape = jax.ShapeDtypeStruct((bh, seq_pad, dim), q.dtype)
+    out_shape = jax.ShapeDtypeStruct((bh, q_pad_len, dim), q.dtype)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
         vmem_limit_bytes=_vmem_limit_bytes(
@@ -386,15 +412,15 @@ def flash_attention(
         ),
     )
     cost_estimate = pl.CostEstimate(
-        flops=4 * bh * seq_pad * seq_pad * dim,
-        bytes_accessed=3 * bh * seq_pad * dim * q.dtype.itemsize
-        + bh * seq_pad * dim * q.dtype.itemsize,
-        transcendentals=bh * seq_pad * seq_pad,
+        flops=4 * bh * q_pad_len * kv_pad_len * dim,
+        bytes_accessed=(2 * bh * kv_pad_len * dim + 2 * bh * q_pad_len * dim)
+        * q.dtype.itemsize,
+        transcendentals=bh * q_pad_len * kv_pad_len,
     )
 
     def _finish(out):
-        out = out.reshape(batch, heads, seq_pad, dim)
-        return out[:, :, :seq] if seq_pad != seq else out
+        out = out.reshape(batch, heads, q_pad_len, dim)
+        return out[:, :, :q_len] if q_pad_len != q_len else out
 
     if fixed_max:
         # per-head-group score upper bound (log2 domain; the sm_scale*log2e
@@ -410,7 +436,7 @@ def flash_attention(
             return pl.pallas_call(
                 functools.partial(
                     _flash_kernel_fixed_max,
-                    kv_len=seq,
+                    kv_len=kv_len_eff,
                     block_k=block_k,
                     num_kv_blocks=num_kv_blocks,
                     dim=dim,
@@ -459,7 +485,7 @@ def flash_attention(
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel,
-            kv_len=seq,
+            kv_len=kv_len_eff,
             block_k=block_k,
             num_kv_blocks=num_kv_blocks,
             dim=dim,

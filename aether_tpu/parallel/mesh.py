@@ -27,24 +27,37 @@ from aether_tpu.config import DiTConfig
 def make_mesh(
     dp: Optional[int] = None,
     tp: Optional[int] = None,
+    sp: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('dp', 'tp') mesh over the available devices.
+    """Build a ('dp', 'tp'[, 'sp']) mesh over the available devices.
 
     With no arguments, all devices go to tp on a single host (the DiT is one
-    model; eval harnesses add dp explicitly).
+    model; eval harnesses add dp explicitly). ``sp`` (sequence/context
+    parallelism: the attention's query-token axis, see
+    ``models/dit.py::_sharded_flash_attention``) adds a third axis for
+    scaling past tp=heads onto pod slices; when omitted or 1 the mesh stays
+    two-axis so existing (dp, tp) callers are unchanged.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    sp_total = 1 if sp is None else sp
+    assert n % sp_total == 0, f"sp({sp_total}) does not divide devices ({n})"
+    n_dt = n // sp_total
     if dp is None and tp is None:
-        dp, tp = 1, n
+        dp, tp = 1, n_dt
     elif dp is None:
-        dp = n // tp
+        dp = n_dt // tp
     elif tp is None:
-        tp = n // dp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != num devices ({n})"
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        tp = n_dt // dp
+    assert dp * tp * sp_total == n, (
+        f"dp({dp}) * tp({tp}) * sp({sp_total}) != num devices ({n})"
+    )
+    if sp is None:
+        arr = np.asarray(devices).reshape(dp, tp)
+        return Mesh(arr, axis_names=("dp", "tp"))
+    arr = np.asarray(devices).reshape(dp, tp, sp_total)
+    return Mesh(arr, axis_names=("dp", "tp", "sp"))
 
 
 def dit_param_sharding(cfg: DiTConfig, mesh: Mesh) -> Dict[str, Any]:

@@ -150,6 +150,23 @@ def test_head_dim_128_falls_back_to_vpu_denom():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=3e-5)
 
 
+@pytest.mark.parametrize("fixed_max", [False, True])
+def test_kv_valid_masks_caller_padding(fixed_max):
+    """kv_valid must exclude caller-side K/V tail padding exactly (the
+    sequence-parallel path pads the global token axis to the shard count and
+    gathers K/V back to full padded length). Padded rows here carry GARBAGE
+    (not zeros) to prove the wrapper masks/zeros them itself."""
+    rng = np.random.default_rng(23)
+    n, pad = 200, 56  # padded length 256
+    q = jnp.asarray(rng.normal(size=(1, 2, 256, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 256, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 256, 64)), jnp.float32)
+    ref = attention_reference(q, k[:, :, :n], v[:, :, :n])
+    out = flash_attention(q, k, v, block_q=128, block_k=128,
+                          fixed_max=fixed_max, kv_valid=n, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_noshift_matches_reference_bounded_scores():
     """noshift (p = exp2(s) raw, shift cancelled by normalization) must be
     exact for bounded-score inputs, in both forced and auto (lax.cond) mode,

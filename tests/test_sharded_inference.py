@@ -91,6 +91,65 @@ def test_tp_flash_attention_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_sp_flash_attention_matches_unsharded():
+    """Sequence/context parallelism: the flash kernel under sp=8 (q-token
+    axis sharded, K/V all-gathered per shard) must match the unsharded XLA
+    path. The 68-token stream (8 text + 60 video) does NOT divide by 8, so
+    this also exercises the pad-and-kv_valid path."""
+    from aether_tpu.config import DiTConfig
+    from aether_tpu.models.dit import dit_forward, init_dit_params
+    from aether_tpu.models.rope import prepare_rotary_positional_embeddings
+    from aether_tpu.parallel.mesh import dit_param_sharding, shard_params
+
+    cfg = DiTConfig(
+        num_layers=2, num_heads=4, head_dim=16, text_embed_dim=32,
+        max_text_seq_length=8, time_embed_dim=32, sample_height=8,
+        sample_width=10,
+    )
+    key = jax.random.PRNGKey(6)
+    params = init_dit_params(key, cfg)
+    f, h, w = 3, 8, 10
+    rng = np.random.default_rng(12)
+    hidden = jnp.asarray(rng.normal(size=(1, f, cfg.in_channels, h, w)),
+                         jnp.float32)
+    text = jnp.asarray(
+        rng.normal(size=(1, cfg.max_text_seq_length, cfg.text_embed_dim)),
+        jnp.float32)
+    t = jnp.array([500], jnp.int32)
+    cos, sin = prepare_rotary_positional_embeddings(
+        cfg, h * 8, w * 8, f, vae_scale_factor_spatial=8, fps=12)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    ref = dit_forward(params, cfg, hidden, text, t, cos, sin, attn_impl="xla")
+
+    for dp, tp, sp in ((1, 1, 8), (1, 2, 4)):
+        mesh = make_mesh(dp=dp, tp=tp, sp=sp)
+        sh_params = shard_params(params, dit_param_sharding(cfg, mesh), mesh)
+        with mesh:
+            out = jax.jit(
+                lambda p, x, e, ts, m=mesh: dit_forward(
+                    p, cfg, x, e, ts, cos, sin, attn_impl="flash_interpret",
+                    mesh=m,
+                )
+            )(sh_params, hidden, text, t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, err_msg=f"tp={tp} sp={sp}")
+
+
+def test_sp_pipeline_runs(tiny_setup):
+    """Full pipeline on a 3-axis (dp=2, tp=2, sp=2) mesh."""
+    cfg, dit, vae, text = tiny_setup
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    pipe = AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32,
+                          attn_impl="flash_interpret", mesh=mesh)
+    out = _run(pipe)
+    base = AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32,
+                          attn_impl="xla")
+    out_ref = _run(base)
+    np.testing.assert_allclose(out.rgb, out_ref.rgb, atol=2e-4)
+    np.testing.assert_allclose(out.disparity, out_ref.disparity, atol=2e-4)
+
+
 def test_tp_flash_pipeline_runs(tiny_setup):
     """Full pipeline with the flash kernel partitioned under (dp=2, tp=4)."""
     cfg, dit, vae, text = tiny_setup
