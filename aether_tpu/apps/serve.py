@@ -63,6 +63,8 @@ a{display:block}</style></head><body>
 <label>steps <input name="steps" type="number" value="" placeholder="task default" style="width:5em"></label>
 <label>stride <input name="stride" type="number" value="24" style="width:4em"></label>
 <label>cfg <input name="cfg" type="number" step="0.5" value="" placeholder="task default" style="width:4em"></label>
+<label>height <input name="height" type="number" value="480" style="width:4.5em"></label>
+<label>width <input name="width" type="number" value="720" style="width:4.5em"></label>
 </div></fieldset>
 <button type="submit">Run</button></form>
 <h2>Progress</h2>

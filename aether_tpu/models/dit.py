@@ -502,6 +502,29 @@ def _sharded_flash_attention(
     return out[:, :, :seq] if seq_pad != seq else out
 
 
+def _sp_token_constraint(x: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Pin the token axis (axis 1 of [B, S, D]) to 'sp' under a 3-axis mesh.
+
+    The shard_map'd attention already splits the token axis, but without
+    these constraints GSPMD is free to leave every token-wise op outside it
+    (qkv/MLP projections, norms, adaLN residuals) REPLICATED over 'sp' —
+    attention would scale with sp while the other half of the FLOPs does
+    not. Megatron-style sequence parallelism: activations carry P(dp, sp)
+    on (batch, tokens) with weights sharded over 'tp', so every projection
+    computes only its token stripe x its weight shard. No-op when the mesh
+    has no sp axis (the 2-axis (dp, tp) path is untouched).
+    """
+    if mesh is None or mesh.shape.get("sp", 1) <= 1:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape.get("dp", 1)
+    batch_axis = "dp" if dp > 1 and x.shape[0] % dp == 0 else None
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(batch_axis, "sp", None))
+    )
+
+
 def _attention(
     attn_p: Params,
     hidden: jnp.ndarray,
@@ -516,6 +539,7 @@ def _attention(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     text_len = enc.shape[1]
     x = jnp.concatenate([enc, hidden], axis=1)  # text first
+    x = _sp_token_constraint(x, mesh)
     b, s, _ = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
 
@@ -711,7 +735,7 @@ def dit_forward(
         h_n, e_n, gate, e_gate = _ada_modulate(
             hid, enc, temb, block_p["norm2"], cfg.norm_eps
         )
-        joint = jnp.concatenate([e_n, h_n], axis=1)
+        joint = _sp_token_constraint(jnp.concatenate([e_n, h_n], axis=1), mesh)
         m = block_p["mlp"]
         ff = _linear(joint, m["w1"], m["b1"], act_quant)
         ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=True).astype(ff.dtype)
