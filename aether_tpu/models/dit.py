@@ -438,9 +438,23 @@ def use_fixed_max_default() -> bool:
     return os.environ.get("AETHER_ATTN_FIXED_MAX", "1") == "1"
 
 
+def use_qk_int8_default() -> bool:
+    """Env-gated int8 QK^T matmul inside the fixed-max flash kernel
+    (``AETHER_ATTN_QK8``, see ``ops/flash_attention.py``). The on-chip sweep
+    measured 31.6 ms vs 36.0 at the 48h x 15k x 64 window; the path is
+    APPROXIMATE (exact only up to per-head-group int8 quantization of the
+    QK-normed q/k), so the default is off until the full-config quality gate
+    promotes it. Same trace-time caveat as :func:`use_fixed_max_default`:
+    jitted callers must resolve it outside jit and pass ``qk_int8``
+    explicitly (the pipeline does)."""
+    import os
+
+    return os.environ.get("AETHER_ATTN_QK8", "0") == "1"
+
+
 def _sharded_flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh, interpret: bool,
-    fixed_max: bool = False,
+    fixed_max: bool = False, qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Partition the Pallas flash kernel over a ('dp', 'tp'[, 'sp']) mesh.
 
@@ -472,11 +486,11 @@ def _sharded_flash_attention(
     seq_axis = "sp" if sp > 1 else None
     if head_axis is None and batch_axis is None and seq_axis is None:
         return flash_attention(q, k, v, interpret=interpret,
-                               fixed_max=fixed_max)
+                               fixed_max=fixed_max, qk_int8=qk_int8)
     if seq_axis is None:
         spec = P(batch_axis, head_axis, None, None)
         fn = functools.partial(flash_attention, interpret=interpret,
-                               fixed_max=fixed_max)
+                               fixed_max=fixed_max, qk_int8=qk_int8)
         return jax.shard_map(
             fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
             check_vma=False,
@@ -492,7 +506,7 @@ def _sharded_flash_attention(
         k_full = jax.lax.all_gather(k_s, "sp", axis=2, tiled=True)
         v_full = jax.lax.all_gather(v_s, "sp", axis=2, tiled=True)
         return flash_attention(q_s, k_full, v_full, interpret=interpret,
-                               fixed_max=fixed_max,
+                               fixed_max=fixed_max, qk_int8=qk_int8,
                                kv_valid=seq if seq_pad != seq else None)
 
     out = jax.shard_map(
@@ -536,6 +550,7 @@ def _attention(
     a8: bool = False,
     mesh=None,
     fixed_max: bool = False,
+    qk_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     text_len = enc.shape[1]
     x = jnp.concatenate([enc, hidden], axis=1)  # text first
@@ -561,10 +576,10 @@ def _attention(
         interpret = attn_impl == "flash_interpret"
         if mesh is not None:
             attn = _sharded_flash_attention(q, k, v, mesh, interpret,
-                                            fixed_max)
+                                            fixed_max, qk_int8)
         else:
             attn = flash_attention(q, k, v, interpret=interpret,
-                                   fixed_max=fixed_max)
+                                   fixed_max=fixed_max, qk_int8=qk_int8)
     elif attn_impl == "chunked":
         from aether_tpu.ops.chunked_attention import chunked_attention
 
@@ -641,6 +656,7 @@ def dit_forward(
     mesh=None,
     collect_blocks: bool = False,
     fixed_max: Optional[bool] = None,
+    qk_int8: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Denoiser forward.
 
@@ -674,6 +690,8 @@ def dit_forward(
         # env fallback for direct (unjitted-arg) callers; the pipeline passes
         # the resolved value as a static jit arg so toggles take effect
         fixed_max = use_fixed_max_default()
+    if qk_int8 is None:
+        qk_int8 = use_qk_int8_default()
 
     # 1. time embedding: sinusoid(hidden) -> MLP -> [B, time_embed_dim]
     t_emb = timestep_embedding(
@@ -727,7 +745,7 @@ def dit_forward(
         )
         attn_h, attn_e = _attention(
             block_p["attn"], h_n, e_n, rc, rs, cfg, attn_impl, act_quant,
-            mesh, fixed_max
+            mesh, fixed_max, qk_int8
         )
         hid = hid + (gate * attn_h.astype(jnp.float32)).astype(hid.dtype)
         enc = enc + (e_gate * attn_e.astype(jnp.float32)).astype(enc.dtype)

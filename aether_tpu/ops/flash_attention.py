@@ -150,6 +150,7 @@ def _flash_kernel(
 
 def _flash_kernel_fixed_max(
     mmax_ref,
+    scale_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -161,6 +162,7 @@ def _flash_kernel_fixed_max(
     num_kv_blocks: int,
     dim: int,
     noshift: bool = False,
+    qk_int8: bool = False,
 ):
     """Fixed-softmax-max attention cell (``fixed_max=True`` path).
 
@@ -191,6 +193,16 @@ def _flash_kernel_fixed_max(
     weight lies in [2^-96, 2^96] and the f32 accumulator tops out below
     2^{96+log2(S)} << 2^128, so no shift is needed and the per-score VPU
     work drops to the single exp2 (the broadcast subtract pass disappears).
+
+    ``qk_int8=True`` runs the QK^T matmul on the int8 MXU path (2x the bf16
+    peak on v5e): the caller quantizes q and k per head-group with a
+    symmetric max-abs scale, the kernel's dot accumulates in int32, and one
+    scalar-prefetched per-cell factor (scale_q * scale_k * sm_scale * log2e)
+    restores log2-domain scores before the exp2. Under QK-norm every row of
+    q/k has near-identical magnitude (layer_norm pins the row norm), so a
+    per-head-group scale loses almost nothing vs per-row — and the scalar
+    multiply fuses into the exp2 pipeline instead of an S^2 outer-product
+    rescale.
     """
     kv_idx = pl.program_id(2)
     del kv_len, block_k  # padding handled via the zeroed ones-column
@@ -206,8 +218,11 @@ def _flash_kernel_fixed_max(
         q,
         k,
         (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (hper, block_q, block_k), log2-domain scores
+        preferred_element_type=jnp.int32 if qk_int8 else jnp.float32,
+    )  # (hper, block_q, block_k), log2-domain scores (int8: raw i32 dots)
+
+    if qk_int8:
+        s = s.astype(jnp.float32) * scale_ref[pl.program_id(0)]
 
     if noshift:
         p = jnp.exp2(s)  # (hper, block_q, block_k)
@@ -276,7 +291,8 @@ def _pick_block(seq: int, requested: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_q", "block_k", "heads_per_cell",
-                     "interpret", "denom", "fixed_max", "noshift", "kv_valid"),
+                     "interpret", "denom", "fixed_max", "noshift", "kv_valid",
+                     "qk_int8"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -291,6 +307,7 @@ def flash_attention(
     fixed_max: bool = False,
     noshift: Optional[bool] = False,
     kv_valid: Optional[int] = None,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over q [B, H, Sq, D] x k/v [B, H, Skv, D]; full
     (non-causal) attention. Sq == Skv for self-attention; Sq < Skv is the
@@ -330,7 +347,20 @@ def flash_attention(
     SLOWER (36.9 vs 35.5 ms) — the broadcast scalar subtract rides the exp2
     pipeline for free on v5e, so the shifted kernel stays the default and
     noshift remains a bench knob only.
+
+    ``qk_int8`` (fixed_max only) quantizes q and k symmetrically per
+    head-group (max-abs / 127) and runs QK^T on the int8 MXU path (2x bf16
+    peak on v5e); the dequantization factor rides the same scalar-prefetch
+    channel as the score bound. APPROXIMATE: per-element score error is
+    ~0.5% of the group score bound — comparable to the bf16 input rounding
+    already present, and safe for QK-NORMALIZED q/k whose rows all share the
+    same magnitude (layer_norm pins row norms, so one scale per group is as
+    good as per-row). Do not use for unnormalized q/k with wildly uneven
+    row magnitudes.
     """
+    if qk_int8 and not fixed_max:
+        raise ValueError("qk_int8 requires fixed_max=True (the int8 "
+                         "dequantization rides the fixed-max scalar prefetch)")
     batch, heads, q_len, dim = q.shape
     kv_len_in = k.shape[2]
     if sm_scale is None:
@@ -351,8 +381,10 @@ def flash_attention(
     bh = batch * heads
     hper = max(h for h in range(1, min(heads_per_cell, bh) + 1) if bh % h == 0)
 
-    # log2-domain softmax with the scale folded into q
-    q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+    # log2-domain softmax with the scale folded into q (int8 path: the fold
+    # cannot ride an int8 tensor, so it rides the per-group dequant scalar)
+    if not qk_int8:
+        q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
 
     # q and kv pad independently (they need not share a length: the
     # sequence-parallel path runs a q stripe against the full gathered K/V)
@@ -370,9 +402,10 @@ def flash_attention(
     dim_v = dim
     if dim >= 128:
         # no spare lane for the ones column in a 128-lane tile: fall back to
-        # the VPU denominator (fixed_max depends on the mxu layout too)
+        # the VPU denominator (fixed_max and qk_int8 depend on the mxu layout)
         denom = "vpu"
         fixed_max = False
+        qk_int8 = False
     if fixed_max:
         denom = "mxu"  # the fixed-max kernel always uses the ones-column l
     if denom == "mxu":
@@ -424,13 +457,34 @@ def flash_attention(
 
     if fixed_max:
         # per-head-group score upper bound (log2 domain; the sm_scale*log2e
-        # fold is already inside q): max_row ||q|| * max_row ||k|| over each
-        # grid cell's hper heads. Padded rows are zero and cannot raise it.
+        # fold is already inside q on the bf16 path, applied explicitly on
+        # the int8 path): max_row ||q|| * max_row ||k|| over each grid
+        # cell's hper heads. Padded rows are zero and cannot raise it.
         qn = jnp.sqrt(jnp.sum(jnp.square(qp.astype(jnp.float32)), axis=-1))
         kn = jnp.sqrt(jnp.sum(jnp.square(kp.astype(jnp.float32)), axis=-1))
         bounds = (jnp.max(qn, axis=-1) * jnp.max(kn, axis=-1)).reshape(
             bh // hper, hper
         ).max(axis=-1)  # (bh//hper,)
+
+        if qk_int8:
+            fold = sm_scale * _LOG2E
+            bounds = bounds * fold
+            # symmetric per-head-group max-abs quantization; the combined
+            # dequant (scale_q * scale_k * sm_scale * log2e) prefetches as
+            # one scalar per grid cell
+            aq = jnp.maximum(
+                jnp.max(jnp.abs(qp.astype(jnp.float32)), axis=(1, 2))
+                .reshape(bh // hper, hper).max(axis=-1), 1e-30)
+            ak = jnp.maximum(
+                jnp.max(jnp.abs(kp.astype(jnp.float32)), axis=(1, 2))
+                .reshape(bh // hper, hper).max(axis=-1), 1e-30)
+            scales = aq * ak * (fold / (127.0 * 127.0))
+            rq = jnp.repeat(127.0 / aq, hper)[:, None, None]
+            rk = jnp.repeat(127.0 / ak, hper)[:, None, None]
+            qp = jnp.rint(qp.astype(jnp.float32) * rq).astype(jnp.int8)
+            kp = jnp.rint(kp.astype(jnp.float32) * rk).astype(jnp.int8)
+        else:
+            scales = jnp.ones_like(bounds)
 
         def _run_fixed(ns: bool):
             return pl.pallas_call(
@@ -441,10 +495,11 @@ def flash_attention(
                     num_kv_blocks=num_kv_blocks,
                     dim=dim,
                     noshift=ns,
+                    qk_int8=qk_int8,
                 ),
                 out_shape=out_shape,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=1,
+                    num_scalar_prefetch=2,
                     grid=(bh // hper, num_q_blocks, num_kv_blocks),
                     # index maps receive the scalar-prefetch refs as trailing
                     # args
@@ -465,7 +520,7 @@ def flash_attention(
                 compiler_params=compiler_params,
                 cost_estimate=cost_estimate,
                 interpret=interpret,
-            )(bounds, qp, kp, vp)
+            )(bounds, scales, qp, kp, vp)
 
         if noshift is None:
             # runtime auto-pick: exp2(s) raw stays in the f32/bf16 exponent

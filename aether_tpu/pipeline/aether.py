@@ -690,7 +690,7 @@ def _decode_pixels(
     jax.jit,
     static_argnames=("config", "attn_impl", "compute_dtype", "task", "do_cfg",
                      "seg_len", "act_quant", "mesh", "broadcast_noise",
-                     "fixed_max"),
+                     "fixed_max", "qk_int8"),
 )
 def _denoise_segment(
     config: PipelineConfig,
@@ -714,6 +714,7 @@ def _denoise_segment(
     mesh=None,
     broadcast_noise: bool = False,
     fixed_max: bool = False,
+    qk_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One jitted segment of the denoise scan: steps [step_start,
     step_start + seg_len). All plan/guidance/SDE-key indexing uses ABSOLUTE
@@ -750,7 +751,7 @@ def _denoise_segment(
         noise_pred = dit_forward(
             dit_params, cfg.dit, model_in, text, t_batch,
             rope_cos, rope_sin, attn_impl=attn_impl, act_quant=act_quant,
-            mesh=mesh, fixed_max=fixed_max,
+            mesh=mesh, fixed_max=fixed_max, qk_int8=qk_int8,
         ).astype(jnp.float32)
         if do_cfg:
             uncond_pred, cond_pred = jnp.split(noise_pred, 2, axis=0)
@@ -807,6 +808,7 @@ def _denoise(
     mesh=None,
     broadcast_noise: bool = False,
     fixed_max: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Denoise driver: init noise + the scan in bounded jitted segments.
 
@@ -843,6 +845,7 @@ def _denoise(
             rope_sin, key_sde, latents, old_x0, jnp.asarray(start, jnp.int32),
             seg_len=n, act_quant=act_quant, mesh=mesh,
             broadcast_noise=broadcast_noise, fixed_max=fixed_max,
+            qk_int8=qk_int8,
         )
         start += n
     return latents
@@ -1112,7 +1115,10 @@ class AetherPipeline:
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
         # NOTE: _denoise dispatches asynchronously — the timer records enqueue
         # + any compile, not device latency; listeners use it as a stage marker
-        from aether_tpu.models.dit import use_fixed_max_default
+        from aether_tpu.models.dit import (
+            use_fixed_max_default,
+            use_qk_int8_default,
+        )
 
         with mesh_ctx, stage_timer("denoise", log=False):
             latents = _denoise(
@@ -1122,6 +1128,7 @@ class AetherPipeline:
                 jnp.asarray(rope_sin), key_denoise,
                 act_quant=self.act_quant, mesh=self.mesh,
                 fixed_max=use_fixed_max_default(),
+                qk_int8=use_qk_int8_default(),
             )
 
         # ---- stage 3: chunked VAE decode + output transforms ----
@@ -1276,7 +1283,10 @@ class AetherPipeline:
 
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
         with mesh_ctx:
-            from aether_tpu.models.dit import use_fixed_max_default
+            from aether_tpu.models.dit import (
+                use_fixed_max_default,
+                use_qk_int8_default,
+            )
 
             latents = _denoise(
                 cfg, self.attn_impl, dtype, "reconstruction", False,
@@ -1285,6 +1295,7 @@ class AetherPipeline:
                 jnp.asarray(rope_sin), key_denoise,
                 act_quant=self.act_quant, mesh=self.mesh,
                 broadcast_noise=True, fixed_max=use_fixed_max_default(),
+                qk_int8=use_qk_int8_default(),
             )
 
         lat_c = cfg.vae.latent_channels

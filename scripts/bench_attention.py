@@ -56,24 +56,22 @@ def main():
     results = {}
     ref_out = None
     variants = [
-        # (block_q, block_k, denom, fixed_max, heads_per_cell, noshift)
-        (1024, 1024, "mxu", True, 4, False),  # round-2 DiT default (shifted)
-        (1024, 1024, "mxu", True, 4, True),   # subtract-free A/B
-        # lcm-friendly geometries: same 15360 padding, fewer q tiles ->
-        # k/v HBM refetch drops (15 tiles at bq=1024 vs 8/6/4)
-        (1920, 960, "mxu", True, 2, True),
-        (1280, 1280, "mxu", True, 2, True),
-        (2560, 1280, "mxu", True, 1, True),
-        (3840, 1280, "mxu", True, 1, True),
-        (1920, 960, "mxu", True, 2, False),
+        # (block_q, block_k, denom, fixed_max, heads_per_cell, noshift, qk8)
+        (1024, 1024, "mxu", True, 4, False, False),  # round-2 DiT default
+        (1024, 1024, "mxu", True, 4, False, True),   # int8 QK^T matmul
+        (1024, 1024, "mxu", True, 4, True, True),    # int8 + subtract-free
+        (1024, 2048, "mxu", True, 4, False, True),   # int8: bigger k blocks
+        (2048, 1024, "mxu", True, 2, False, True),   # int8: bigger q blocks
+        (1024, 1024, "mxu", True, 4, True, False),   # subtract-free A/B
     ]
-    for bq, bk, denom, fmax, hper, ns in variants:
+    for bq, bk, denom, fmax, hper, ns, qk8 in variants:
         name = (f"ours bq={bq} bk={bk} denom={denom} fmax={int(fmax)} "
-                f"hper={hper} ns={int(bool(ns))}")
+                f"hper={hper} ns={int(bool(ns))} qk8={int(qk8)}")
         try:
             ms, out = timeit(functools.partial(
                 flash_attention, block_q=bq, block_k=bk, denom=denom,
-                fixed_max=fmax, heads_per_cell=hper, noshift=ns), q, k, v)
+                fixed_max=fmax, heads_per_cell=hper, noshift=ns,
+                qk_int8=qk8), q, k, v)
             results[name] = ms
             if ref_out is None:
                 ref_out = out

@@ -75,9 +75,10 @@ def main():
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
     attn = "flash" if on_tpu else "xla"
 
-    def forward(params, act_quant=False):
+    def forward(params, act_quant=False, qk_int8=False):
         out = dit_forward(params, cfg, hidden, text, t, cos, sin,
-                          attn_impl=attn, act_quant=act_quant)
+                          attn_impl=attn, act_quant=act_quant,
+                          qk_int8=qk_int8)
         host = np.asarray(out, np.float32).ravel()
         return host
 
@@ -116,6 +117,11 @@ def main():
     params = quantize_dit_params(fresh_bf16(), dtype=jnp.int8)
     compare("int8_weight_only", forward(params))
     compare("int8_w8a8", forward(params, act_quant=True))
+    # int8 QK^T attention on top of the deployment int8 w8a8 mode (the
+    # candidate full-int8 default; flash-only, so CPU smoke skips it)
+    if on_tpu:
+        compare("int8_w8a8_qk8", forward(params, act_quant=True,
+                                         qk_int8=True))
     del params
     gc.collect()
 

@@ -167,6 +167,54 @@ def test_kv_valid_masks_caller_padding(fixed_max):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def _rownorm(x):
+    """Per-row layer_norm, mimicking the DiT's QK-norm (the precondition for
+    the qk_int8 per-head-group quantization being accurate)."""
+    m = x.mean(-1, keepdims=True)
+    v = x.var(-1, keepdims=True)
+    return (x - m) / np.sqrt(v + 1e-6)
+
+
+def test_qk_int8_close_on_normed_inputs():
+    """int8 QK^T (per-head-group symmetric quantization) must track the f32
+    reference closely for QK-NORMED inputs — the path is approximate by
+    design; the tolerance here is ~bf16-input rounding level."""
+    rng = np.random.default_rng(11)
+    shape = (1, 4, 520, 64)  # pads to 640: exercises padding too
+    q = jnp.asarray(_rownorm(rng.normal(size=shape)), jnp.float32)
+    k = jnp.asarray(_rownorm(rng.normal(size=shape)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    ref = np.asarray(attention_reference(q, k, v))
+    out = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     fixed_max=True, qk_int8=True,
+                                     interpret=True))
+    assert np.max(np.abs(out - ref)) < 2e-2
+    cos = float((out * ref).sum()
+                / (np.linalg.norm(out) * np.linalg.norm(ref)))
+    assert cos > 0.9995
+
+
+def test_qk_int8_requires_fixed_max():
+    q = jnp.zeros((1, 1, 128, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        flash_attention(q, q, q, qk_int8=True, fixed_max=False,
+                        interpret=True)
+
+
+def test_qk_int8_kv_valid_masks_padding():
+    """qk_int8 composes with the sequence-parallel kv_valid mask."""
+    rng = np.random.default_rng(12)
+    n = 200  # padded region 200..256 carries garbage
+    q = jnp.asarray(_rownorm(rng.normal(size=(1, 2, 256, 64))), jnp.float32)
+    k = jnp.asarray(_rownorm(rng.normal(size=(1, 2, 256, 64))), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 256, 64)), jnp.float32)
+    ref = np.asarray(attention_reference(q, k[:, :, :n], v[:, :, :n]))
+    out = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     fixed_max=True, qk_int8=True,
+                                     kv_valid=n, interpret=True))
+    assert np.max(np.abs(out - ref)) < 2e-2
+
+
 def test_noshift_matches_reference_bounded_scores():
     """noshift (p = exp2(s) raw, shift cancelled by normalization) must be
     exact for bounded-score inputs, in both forced and auto (lax.cond) mode,
