@@ -90,6 +90,18 @@ def test_tp_flash_attention_matches_unsharded():
         )(sh_params, hidden, text, t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
+    # int8 QK^T under the same tp=8 shard_map: the quantized path is
+    # approximate by design, so the tolerance is looser — this guards the
+    # scalar-prefetch plumbing (per-shard bounds/scales) under partitioning
+    with mesh:
+        out8 = jax.jit(
+            lambda p, x, e, ts: dit_forward(
+                p, cfg, x, e, ts, cos, sin, attn_impl="flash_interpret",
+                mesh=mesh, fixed_max=True, qk_int8=True,
+            )
+        )(sh_params, hidden, text, t)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref), atol=5e-2)
+
 
 def test_sp_flash_attention_matches_unsharded():
     """Sequence/context parallelism: the flash kernel under sp=8 (q-token
