@@ -440,16 +440,19 @@ def use_fixed_max_default() -> bool:
 
 def use_qk_int8_default() -> bool:
     """Env-gated int8 QK^T matmul inside the fixed-max flash kernel
-    (``AETHER_ATTN_QK8``, see ``ops/flash_attention.py``). The on-chip sweep
-    measured 31.6 ms vs 36.0 at the 48h x 15k x 64 window; the path is
-    APPROXIMATE (exact only up to per-head-group int8 quantization of the
-    QK-normed q/k), so the default is off until the full-config quality gate
-    promotes it. Same trace-time caveat as :func:`use_fixed_max_default`:
-    jitted callers must resolve it outside jit and pass ``qk_int8``
-    explicitly (the pipeline does)."""
+    (``AETHER_ATTN_QK8``, see ``ops/flash_attention.py``). ON by default:
+    the on-chip sweep measured 31.6 ms vs 36.0 at the 48h x 15k x 64 window,
+    and the full-config quality gate (42L x 3072, one denoise step, see
+    ``scripts/quant_quality_gate.py`` + BASELINE.md) measured int8_w8a8_qk8
+    cosine 0.99992 vs bf16 — indistinguishable from int8_w8a8 without qk8
+    (0.99992), i.e. the per-head-group int8 quantization of the QK-normed
+    q/k adds no measurable output drift. Disable with AETHER_ATTN_QK8=0.
+    Same trace-time caveat as :func:`use_fixed_max_default`: jitted callers
+    must resolve it outside jit and pass ``qk_int8`` explicitly (the
+    pipeline does)."""
     import os
 
-    return os.environ.get("AETHER_ATTN_QK8", "0") == "1"
+    return os.environ.get("AETHER_ATTN_QK8", "1") == "1"
 
 
 def _sharded_flash_attention(
@@ -691,7 +694,9 @@ def dit_forward(
         # the resolved value as a static jit arg so toggles take effect
         fixed_max = use_fixed_max_default()
     if qk_int8 is None:
-        qk_int8 = use_qk_int8_default()
+        # the int8 QK^T path only exists inside the fixed-max kernel, so the
+        # env default must not outlive an explicit AETHER_ATTN_FIXED_MAX=0
+        qk_int8 = use_qk_int8_default() and fixed_max
 
     # 1. time embedding: sinusoid(hidden) -> MLP -> [B, time_embed_dim]
     t_emb = timestep_embedding(

@@ -1128,7 +1128,7 @@ class AetherPipeline:
                 jnp.asarray(rope_sin), key_denoise,
                 act_quant=self.act_quant, mesh=self.mesh,
                 fixed_max=use_fixed_max_default(),
-                qk_int8=use_qk_int8_default(),
+                qk_int8=use_qk_int8_default() and use_fixed_max_default(),
             )
 
         # ---- stage 3: chunked VAE decode + output transforms ----
@@ -1295,7 +1295,7 @@ class AetherPipeline:
                 jnp.asarray(rope_sin), key_denoise,
                 act_quant=self.act_quant, mesh=self.mesh,
                 broadcast_noise=True, fixed_max=use_fixed_max_default(),
-                qk_int8=use_qk_int8_default(),
+                qk_int8=use_qk_int8_default() and use_fixed_max_default(),
             )
 
         lat_c = cfg.vae.latent_channels
