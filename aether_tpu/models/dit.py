@@ -455,9 +455,20 @@ def use_qk_int8_default() -> bool:
     return os.environ.get("AETHER_ATTN_QK8", "1") == "1"
 
 
+def use_pv_int8_default() -> bool:
+    """Env-gated int8 PV matmul (``AETHER_ATTN_PV8``, see
+    ``ops/flash_attention.py::_flash_kernel_pv8``): quantizes the softmax
+    weights so BOTH attention matmuls ride the int8 MXU. Default OFF until
+    the on-chip sweep + full-config quality gate promote it (same protocol
+    as qk_int8). Same trace-time caveat as :func:`use_fixed_max_default`."""
+    import os
+
+    return os.environ.get("AETHER_ATTN_PV8", "0") == "1"
+
+
 def _sharded_flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh, interpret: bool,
-    fixed_max: bool = False, qk_int8: bool = False,
+    fixed_max: bool = False, qk_int8: bool = False, pv_int8: bool = False,
 ) -> jnp.ndarray:
     """Partition the Pallas flash kernel over a ('dp', 'tp'[, 'sp']) mesh.
 
@@ -489,11 +500,13 @@ def _sharded_flash_attention(
     seq_axis = "sp" if sp > 1 else None
     if head_axis is None and batch_axis is None and seq_axis is None:
         return flash_attention(q, k, v, interpret=interpret,
-                               fixed_max=fixed_max, qk_int8=qk_int8)
+                               fixed_max=fixed_max, qk_int8=qk_int8,
+                               pv_int8=pv_int8)
     if seq_axis is None:
         spec = P(batch_axis, head_axis, None, None)
         fn = functools.partial(flash_attention, interpret=interpret,
-                               fixed_max=fixed_max, qk_int8=qk_int8)
+                               fixed_max=fixed_max, qk_int8=qk_int8,
+                               pv_int8=pv_int8)
         return jax.shard_map(
             fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
             check_vma=False,
@@ -510,6 +523,7 @@ def _sharded_flash_attention(
         v_full = jax.lax.all_gather(v_s, "sp", axis=2, tiled=True)
         return flash_attention(q_s, k_full, v_full, interpret=interpret,
                                fixed_max=fixed_max, qk_int8=qk_int8,
+                               pv_int8=pv_int8,
                                kv_valid=seq if seq_pad != seq else None)
 
     out = jax.shard_map(
@@ -554,6 +568,7 @@ def _attention(
     mesh=None,
     fixed_max: bool = False,
     qk_int8: bool = False,
+    pv_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     text_len = enc.shape[1]
     x = jnp.concatenate([enc, hidden], axis=1)  # text first
@@ -579,10 +594,11 @@ def _attention(
         interpret = attn_impl == "flash_interpret"
         if mesh is not None:
             attn = _sharded_flash_attention(q, k, v, mesh, interpret,
-                                            fixed_max, qk_int8)
+                                            fixed_max, qk_int8, pv_int8)
         else:
             attn = flash_attention(q, k, v, interpret=interpret,
-                                   fixed_max=fixed_max, qk_int8=qk_int8)
+                                   fixed_max=fixed_max, qk_int8=qk_int8,
+                                   pv_int8=pv_int8)
     elif attn_impl == "chunked":
         from aether_tpu.ops.chunked_attention import chunked_attention
 
@@ -660,6 +676,7 @@ def dit_forward(
     collect_blocks: bool = False,
     fixed_max: Optional[bool] = None,
     qk_int8: Optional[bool] = None,
+    pv_int8: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Denoiser forward.
 
@@ -697,6 +714,8 @@ def dit_forward(
         # the int8 QK^T path only exists inside the fixed-max kernel, so the
         # env default must not outlive an explicit AETHER_ATTN_FIXED_MAX=0
         qk_int8 = use_qk_int8_default() and fixed_max
+    if pv_int8 is None:
+        pv_int8 = use_pv_int8_default() and fixed_max
 
     # 1. time embedding: sinusoid(hidden) -> MLP -> [B, time_embed_dim]
     t_emb = timestep_embedding(
@@ -750,7 +769,7 @@ def dit_forward(
         )
         attn_h, attn_e = _attention(
             block_p["attn"], h_n, e_n, rc, rs, cfg, attn_impl, act_quant,
-            mesh, fixed_max, qk_int8
+            mesh, fixed_max, qk_int8, pv_int8
         )
         hid = hid + (gate * attn_h.astype(jnp.float32)).astype(hid.dtype)
         enc = enc + (e_gate * attn_e.astype(jnp.float32)).astype(enc.dtype)

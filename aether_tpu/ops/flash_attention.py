@@ -245,6 +245,104 @@ def _flash_kernel_fixed_max(
         o_ref[...] = (acc[:, :, :dim] * l_inv).astype(o_ref.dtype)
 
 
+def _flash_kernel_pv8(
+    mmax_ref,
+    scale_ref,
+    vscale_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    bias_ref,
+    o_ref,
+    m_scratch,
+    acc_scratch,
+    *,
+    num_kv_blocks: int,
+    dim: int,
+    qk_int8: bool,
+    has_bias: bool,
+):
+    """Full-int8 attention cell (``pv_int8=True`` path): BOTH matmuls ride
+    the int8 MXU (2x the bf16 peak on v5e).
+
+    The PV matmul cannot reuse the fixed-max trick: the per-head-group
+    Cauchy-Schwarz bound is loose per ROW (a row whose true max score sits g
+    below the bound has all its weights crushed to 2^-g, which dies at int8
+    granularity). So this kernel brings back an online running max — but
+    quantized to INTEGERS (``ceil`` of the block row max), which makes the
+    accumulator rescale ``alpha = 2^(m_prev - m_next)`` an exact power of two
+    and pins the row-max weight in (0.5, 1]: ``p8 = rint(127 * exp2(s - m))``
+    always keeps >= 6.5 significant bits below each row's true max.
+
+    v is quantized per head-group (symmetric max-abs, scale prefetched in
+    ``vscale_ref``); its ones column is EXACTLY 127, so every shared quant
+    factor cancels in the numerator/denominator ratio at store time and one
+    per-group ``vscale`` multiply restores the output magnitude.
+
+    Padded kv columns are zero int8 k rows -> score 0, which would pin the
+    running max at 0 and underflow rows whose true max is negative. The
+    caller therefore passes a per-column additive bias (0 valid / -1e9
+    padded, ``has_bias``), folded into the scores before the max — one
+    broadcast VPU add, measurably cheaper than an iota+select mask pass, and
+    it also zeroes the padded weights outright.
+
+    ``mmax_ref`` (the fixed-max bound) is unused here but kept in the
+    scalar-prefetch signature so the fixed-max kernel family shares one
+    pallas_call scaffold.
+    """
+    del mmax_ref
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        # -1e9 (not -inf): alpha = exp2(m_prev - m_next) must not produce
+        # inf - inf = nan on the first block
+        m_scratch[...] = jnp.full_like(m_scratch, -1e9)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[...]  # (hper, block_q, d) int8 (qk_int8) or pre-scaled bf16
+    k = k_ref[...]  # (hper, block_k, d)
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32 if qk_int8 else jnp.float32,
+    )  # (hper, block_q, block_k)
+    if qk_int8:
+        s = s.astype(jnp.float32) * scale_ref[pl.program_id(0)]
+    if has_bias:
+        s = s + bias_ref[...][None, None, :]
+
+    m_prev = m_scratch[...]  # (hper, block_q, 128) lane-replicated, integer
+    m_curr = jnp.ceil(jnp.max(s, axis=2, keepdims=True))  # (hper, block_q, 1)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp2(m_prev - m_next)  # exact: integer exponent
+    m_scratch[...] = m_next
+
+    p = jnp.exp2(s - m_next[:, :, :1])  # in (0, 1]
+    p8 = jnp.rint(p * 127.0).astype(jnp.int8)
+
+    v = v_ref[...]  # (hper, block_k, 128) int8: [v*127/av | 127 | 0]
+    pv = jax.lax.dot_general(
+        p8,
+        v,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :, :1] + pv
+
+    vscale = vscale_ref[pl.program_id(0)]  # read outside pl.when (interpret)
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        acc = acc_scratch[...]
+        l_final = acc[:, :, dim : dim + 1]
+        l_inv = jnp.where(l_final <= 0.0, 1.0, 1.0 / l_final)
+        # num/den = sum(p v)/(av * sum(p)) -> one vscale multiply restores av
+        o_ref[...] = (acc[:, :, :dim] * l_inv * vscale).astype(o_ref.dtype)
+
+
 def _vmem_limit_bytes(
     block_q: int, block_k: int, hper: int, dim: int, itemsize: int
 ) -> int:
@@ -292,7 +390,7 @@ def _pick_block(seq: int, requested: int) -> int:
     jax.jit,
     static_argnames=("sm_scale", "block_q", "block_k", "heads_per_cell",
                      "interpret", "denom", "fixed_max", "noshift", "kv_valid",
-                     "qk_int8"),
+                     "qk_int8", "pv_int8"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -308,6 +406,7 @@ def flash_attention(
     noshift: Optional[bool] = False,
     kv_valid: Optional[int] = None,
     qk_int8: bool = False,
+    pv_int8: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over q [B, H, Sq, D] x k/v [B, H, Skv, D]; full
     (non-causal) attention. Sq == Skv for self-attention; Sq < Skv is the
@@ -357,10 +456,21 @@ def flash_attention(
     same magnitude (layer_norm pins row norms, so one scale per group is as
     good as per-row). Do not use for unnormalized q/k with wildly uneven
     row magnitudes.
+
+    ``pv_int8`` (fixed_max only; composes with qk_int8 for the full-int8
+    cell) additionally quantizes the softmax weights to int8 and runs the PV
+    matmul on the int8 MXU — see :func:`_flash_kernel_pv8` for why this
+    brings back an (integer-quantized) running max and a per-column padding
+    bias. APPROXIMATE at the ~1/254-of-row-max weight granularity;
+    ``noshift`` is ignored on this path (the integer running max IS the
+    shift).
     """
     if qk_int8 and not fixed_max:
         raise ValueError("qk_int8 requires fixed_max=True (the int8 "
                          "dequantization rides the fixed-max scalar prefetch)")
+    if pv_int8 and not fixed_max:
+        raise ValueError("pv_int8 requires fixed_max=True (it shares the "
+                         "fixed-max family's scalar-prefetch scaffold)")
     batch, heads, q_len, dim = q.shape
     kv_len_in = k.shape[2]
     if sm_scale is None:
@@ -406,6 +516,7 @@ def flash_attention(
         denom = "vpu"
         fixed_max = False
         qk_int8 = False
+        pv_int8 = False
     if fixed_max:
         denom = "mxu"  # the fixed-max kernel always uses the ones-column l
     if denom == "mxu":
@@ -418,15 +529,29 @@ def flash_attention(
         # pass in the kernel at all); the online-max kernel masks their
         # scores to _NEG_INF anyway.
         dim_v = 128
-        if kv_len_eff < kv_len_in:
-            ones_col = jnp.broadcast_to(
-                (jnp.arange(kv_len_in) < kv_len_eff)[None, None, :, None],
-                (*v.shape[:-1], 1),
-            ).astype(v.dtype)
+        if pv_int8:
+            # per-head-group symmetric max-abs quantization of v; the ones
+            # column is EXACTLY 127 so every shared quant factor cancels in
+            # the num/den ratio and one vscale multiply at store restores
+            # the magnitude (see _flash_kernel_pv8)
+            vscales = jnp.maximum(
+                jnp.max(jnp.abs(v.astype(jnp.float32)), axis=(2, 3))
+                .reshape(bh // hper, hper).max(axis=-1), 1e-30)
+            rv = jnp.repeat(127.0 / vscales, hper).reshape(
+                batch, heads, 1, 1)
+            v = jnp.rint(v.astype(jnp.float32) * rv).astype(jnp.int8)
+            ones_val = jnp.full((), 127, jnp.int8)
         else:
-            ones_col = jnp.ones((*v.shape[:-1], 1), v.dtype)
+            vscales = None
+            ones_val = jnp.ones((), v.dtype)
+        if kv_len_eff < kv_len_in:
+            valid = (jnp.arange(kv_len_in) < kv_len_eff)[None, None, :, None]
+            ones_col = jnp.where(valid, ones_val, jnp.zeros((), v.dtype))
+        else:
+            ones_col = jnp.broadcast_to(ones_val, (1, 1, 1, 1))
+        ones_col = jnp.broadcast_to(ones_col, (*v.shape[:-1], 1))
         v_ext = jnp.concatenate(
-            [v, ones_col,
+            [v, ones_col.astype(v.dtype),
              jnp.zeros((*v.shape[:-1], dim_v - dim - 1), v.dtype)], axis=-1
         )
         vp = _pad_to(v_ext, kv_pad_len).reshape(bh, kv_pad_len, dim_v)
@@ -485,6 +610,58 @@ def flash_attention(
             kp = jnp.rint(kp.astype(jnp.float32) * rk).astype(jnp.int8)
         else:
             scales = jnp.ones_like(bounds)
+
+        if pv_int8:
+            has_bias = kv_pad_len > kv_len_eff
+            kern = functools.partial(
+                _flash_kernel_pv8,
+                num_kv_blocks=num_kv_blocks,
+                dim=dim,
+                qk_int8=qk_int8,
+                has_bias=has_bias,
+            )
+            in_specs = [
+                pl.BlockSpec((hper, block_q, dim),
+                             lambda b, qi, ki, *_: (b, qi, 0)),
+                pl.BlockSpec((hper, block_k, dim),
+                             lambda b, qi, ki, *_: (b, ki, 0)),
+                pl.BlockSpec((hper, block_k, dim_v),
+                             lambda b, qi, ki, *_: (b, ki, 0)),
+            ]
+            operands = [bounds, scales, vscales, qp, kp, vp]
+            if has_bias:
+                in_specs.append(
+                    pl.BlockSpec((block_k,), lambda b, qi, ki, *_: (ki,)))
+                operands.append(
+                    jnp.where(jnp.arange(kv_pad_len) < kv_len_eff,
+                              0.0, -1e9).astype(jnp.float32))
+            else:
+                # keep the kernel arity fixed: splice a None bias_ref in
+                inner = kern
+
+                def kern(mm, sc, vs, qr, kr, vr, o, ms, acc,
+                         _inner=inner):
+                    _inner(mm, sc, vs, qr, kr, vr, None, o, ms, acc)
+
+            out = pl.pallas_call(
+                kern,
+                out_shape=out_shape,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(bh // hper, num_q_blocks, num_kv_blocks),
+                    in_specs=in_specs,
+                    out_specs=pl.BlockSpec((hper, block_q, dim),
+                                           lambda b, qi, ki, *_: (b, qi, 0)),
+                    scratch_shapes=[
+                        pltpu.VMEM((hper, block_q, 128), jnp.float32),
+                        pltpu.VMEM((hper, block_q, dim_v), jnp.float32),
+                    ],
+                ),
+                compiler_params=compiler_params,
+                cost_estimate=cost_estimate,
+                interpret=interpret,
+            )(*operands)
+            return _finish(out)
 
         def _run_fixed(ns: bool):
             return pl.pallas_call(

@@ -56,22 +56,23 @@ def main():
     results = {}
     ref_out = None
     variants = [
-        # (block_q, block_k, denom, fixed_max, heads_per_cell, noshift, qk8)
-        (1024, 1024, "mxu", True, 4, False, False),  # round-2 DiT default
-        (1024, 1024, "mxu", True, 4, False, True),   # int8 QK^T matmul
-        (1024, 1024, "mxu", True, 4, True, True),    # int8 + subtract-free
-        (1024, 2048, "mxu", True, 4, False, True),   # int8: bigger k blocks
-        (2048, 1024, "mxu", True, 2, False, True),   # int8: bigger q blocks
-        (1024, 1024, "mxu", True, 4, True, False),   # subtract-free A/B
+        # (block_q, block_k, denom, fixed_max, hper, noshift, qk8, pv8)
+        (1024, 1024, "mxu", True, 4, False, True, False),  # qk8 DiT default
+        (1024, 1024, "mxu", True, 4, False, True, True),   # full-int8 cell
+        (1024, 1024, "mxu", True, 4, False, False, True),  # pv8 only
+        (1024, 2048, "mxu", True, 4, False, True, True),   # pv8: bigger k
+        (2048, 1024, "mxu", True, 2, False, True, True),   # pv8: bigger q
+        (1024, 1024, "mxu", True, 4, False, False, False), # bf16 fixed-max
     ]
-    for bq, bk, denom, fmax, hper, ns, qk8 in variants:
+    for bq, bk, denom, fmax, hper, ns, qk8, pv8 in variants:
         name = (f"ours bq={bq} bk={bk} denom={denom} fmax={int(fmax)} "
-                f"hper={hper} ns={int(bool(ns))} qk8={int(qk8)}")
+                f"hper={hper} ns={int(bool(ns))} qk8={int(qk8)} "
+                f"pv8={int(pv8)}")
         try:
             ms, out = timeit(functools.partial(
                 flash_attention, block_q=bq, block_k=bk, denom=denom,
                 fixed_max=fmax, heads_per_cell=hper, noshift=ns,
-                qk_int8=qk8), q, k, v)
+                qk_int8=qk8, pv_int8=pv8), q, k, v)
             results[name] = ms
             if ref_out is None:
                 ref_out = out

@@ -75,10 +75,10 @@ def main():
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
     attn = "flash" if on_tpu else "xla"
 
-    def forward(params, act_quant=False, qk_int8=False):
+    def forward(params, act_quant=False, qk_int8=False, pv_int8=False):
         out = dit_forward(params, cfg, hidden, text, t, cos, sin,
                           attn_impl=attn, act_quant=act_quant,
-                          qk_int8=qk_int8)
+                          qk_int8=qk_int8, pv_int8=pv_int8)
         host = np.asarray(out, np.float32).ravel()
         return host
 
@@ -122,6 +122,9 @@ def main():
     if on_tpu:
         compare("int8_w8a8_qk8", forward(params, act_quant=True,
                                          qk_int8=True))
+        # full-int8 attention cell (int8 QK^T + int8 softmax weights on PV)
+        compare("int8_w8a8_qk8_pv8", forward(params, act_quant=True,
+                                             qk_int8=True, pv_int8=True))
     del params
     gc.collect()
 

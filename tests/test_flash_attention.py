@@ -266,3 +266,80 @@ def test_fixed_max_matches_reference_qk_normed():
                               fixed_max=True, interpret=True
                               ).astype(jnp.float32)
         assert float(jnp.max(jnp.abs(out - ref))) < tol
+
+
+def test_pv_int8_close_on_normed_inputs():
+    """Full-int8 attention cell (int8 QK^T + int8 softmax weights on the PV
+    matmul, see ``_flash_kernel_pv8``): the softmax weights carry ~1/254 of
+    each row's max-weight granularity, so the tolerance is one notch looser
+    than qk_int8 alone. Exercises the padding-bias path (520 pads to 640)."""
+    rng = np.random.default_rng(21)
+    shape = (1, 4, 520, 64)
+    q = jnp.asarray(_rownorm(rng.normal(size=shape)), jnp.float32)
+    k = jnp.asarray(_rownorm(rng.normal(size=shape)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    ref = np.asarray(attention_reference(q, k, v))
+    for qk8 in (False, True):
+        out = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                         fixed_max=True, qk_int8=qk8,
+                                         pv_int8=True, interpret=True))
+        assert np.max(np.abs(out - ref)) < 5e-2, qk8
+        cos = float((out * ref).sum()
+                    / (np.linalg.norm(out) * np.linalg.norm(ref)))
+        assert cos > 0.999, (qk8, cos)
+
+
+def test_pv_int8_no_padding_path():
+    """block-aligned sequence: the kernel's static has_bias=False arity."""
+    rng = np.random.default_rng(22)
+    shape = (1, 2, 512, 64)
+    q = jnp.asarray(_rownorm(rng.normal(size=shape)), jnp.float32)
+    k = jnp.asarray(_rownorm(rng.normal(size=shape)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    ref = np.asarray(attention_reference(q, k, v))
+    out = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     fixed_max=True, qk_int8=True,
+                                     pv_int8=True, interpret=True))
+    assert np.max(np.abs(out - ref)) < 5e-2
+
+
+def test_pv_int8_negative_row_max_with_padding():
+    """The padding bias must keep the running max tied to REAL scores: rows
+    whose true max score is negative would otherwise be crushed by the
+    zero-score padding columns pinning the integer running max at 0."""
+    rng = np.random.default_rng(23)
+    d = 64
+    # anti-aligned q/k: every real score is strongly negative
+    base = _rownorm(rng.normal(size=(1, 2, 200, d)))
+    q = jnp.asarray(base, jnp.float32)
+    k = jnp.asarray(-base + 0.05 * _rownorm(rng.normal(size=(1, 2, 200, d))),
+                    jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 200, d)), jnp.float32)
+    ref = np.asarray(attention_reference(q, k, v))
+    out = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     fixed_max=True, qk_int8=True,
+                                     pv_int8=True, interpret=True))
+    assert np.isfinite(out).all()
+    assert np.max(np.abs(out - ref)) < 5e-2
+
+
+def test_pv_int8_kv_valid_masks_padding():
+    """pv_int8 composes with the sequence-parallel kv_valid mask."""
+    rng = np.random.default_rng(24)
+    n = 200
+    q = jnp.asarray(_rownorm(rng.normal(size=(1, 2, 256, 64))), jnp.float32)
+    k = jnp.asarray(_rownorm(rng.normal(size=(1, 2, 256, 64))), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 256, 64)), jnp.float32)
+    ref = np.asarray(attention_reference(q, k[:, :, :n], v[:, :, :n]))
+    out = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     fixed_max=True, qk_int8=True,
+                                     pv_int8=True, kv_valid=n,
+                                     interpret=True))
+    assert np.max(np.abs(out - ref)) < 5e-2
+
+
+def test_pv_int8_requires_fixed_max():
+    q = jnp.zeros((1, 1, 128, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        flash_attention(q, q, q, pv_int8=True, fixed_max=False,
+                        interpret=True)
