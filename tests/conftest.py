@@ -13,6 +13,13 @@ as long as the backend itself has not been initialized.
 import os
 
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# Exactness tests (sharded == unsharded, flash == xla at 1e-4-level atol)
+# must not pick up the deployment default of approximate int8 attention
+# (AETHER_ATTN_QK8 defaults ON since the full-config quality gate); the
+# quantized paths have dedicated tests that pass qk_int8/pv_int8 explicitly,
+# and test_models.py::test_attn_env_defaults pins the shipped default values.
+os.environ.setdefault("AETHER_ATTN_QK8", "0")
+os.environ.setdefault("AETHER_ATTN_PV8", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

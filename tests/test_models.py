@@ -425,3 +425,24 @@ def test_dit_forward_act_quant():
     rel = (np.linalg.norm(np.asarray(got) - np.asarray(ref))
            / np.linalg.norm(np.asarray(ref)))
     assert rel < 0.2, rel  # quantization-scale deviation, not garbage
+
+
+def test_attn_env_defaults(monkeypatch):
+    """Pin the SHIPPED attention defaults (conftest overrides them for the
+    exactness tests, so this is the only place the real defaults are
+    asserted): env unset -> fixed_max ON, int8 QK^T ON (promoted by the
+    full-config quality gate, BASELINE.md round 2), int8 PV OFF."""
+    from aether_tpu.models.dit import (
+        use_fixed_max_default,
+        use_pv_int8_default,
+        use_qk_int8_default,
+    )
+
+    for var in ("AETHER_ATTN_FIXED_MAX", "AETHER_ATTN_QK8",
+                "AETHER_ATTN_PV8"):
+        monkeypatch.delenv(var, raising=False)
+    assert use_fixed_max_default() is True
+    assert use_qk_int8_default() is True
+    assert use_pv_int8_default() is False
+    monkeypatch.setenv("AETHER_ATTN_QK8", "0")
+    assert use_qk_int8_default() is False
