@@ -458,9 +458,12 @@ def use_qk_int8_default() -> bool:
 def use_pv_int8_default() -> bool:
     """Env-gated int8 PV matmul (``AETHER_ATTN_PV8``, see
     ``ops/flash_attention.py::_flash_kernel_pv8``): quantizes the softmax
-    weights so BOTH attention matmuls ride the int8 MXU. Default OFF until
-    the on-chip sweep + full-config quality gate promote it (same protocol
-    as qk_int8). Same trace-time caveat as :func:`use_fixed_max_default`."""
+    weights so BOTH attention matmuls ride the int8 MXU. Default OFF: the
+    on-chip sweep measured it SLOWER (39.7 vs 31.75 ms at the 48h x 15k x 64
+    window — the kernel is VPU-bound at head_dim 64 and the extra per-score
+    quantization work outweighs the MXU saving; BASELINE.md fourth sweep).
+    Kept as a bench/deployment knob for shapes where the balance differs.
+    Same trace-time caveat as :func:`use_fixed_max_default`."""
     import os
 
     return os.environ.get("AETHER_ATTN_PV8", "0") == "1"

@@ -312,7 +312,7 @@ def _flash_kernel_pv8(
     if qk_int8:
         s = s.astype(jnp.float32) * scale_ref[pl.program_id(0)]
     if has_bias:
-        s = s + bias_ref[...][None, None, :]
+        s = s + bias_ref[...][:, None, :]  # (1, block_k) ref -> broadcast
 
     m_prev = m_scratch[...]  # (hper, block_q, 128) lane-replicated, integer
     m_curr = jnp.ceil(jnp.max(s, axis=2, keepdims=True))  # (hper, block_q, 1)
@@ -471,6 +471,13 @@ def flash_attention(
     if pv_int8 and not fixed_max:
         raise ValueError("pv_int8 requires fixed_max=True (it shares the "
                          "fixed-max family's scalar-prefetch scaffold)")
+    if pv_int8 and not qk_int8:
+        # bf16-QK^T + int8-PV reproducibly SIGABRTs the Mosaic compiler on
+        # v5e (observed 2026-08, with both 1-D and 2-D bias layouts) and is
+        # a pointless combination anyway — the full-int8 cell is the only
+        # deployment shape for this kernel
+        raise ValueError("pv_int8 requires qk_int8=True (the mixed "
+                         "bf16-QK/int8-PV cell crashes the TPU compiler)")
     batch, heads, q_len, dim = q.shape
     kv_len_in = k.shape[2]
     if sm_scale is None:
@@ -630,11 +637,13 @@ def flash_attention(
             ]
             operands = [bounds, scales, vscales, qp, kp, vp]
             if has_bias:
+                # 2-D (1, block_k) tile: the canonical TPU layout for a
+                # per-column vector (1-D refs are a Mosaic rough edge)
                 in_specs.append(
-                    pl.BlockSpec((block_k,), lambda b, qi, ki, *_: (ki,)))
+                    pl.BlockSpec((1, block_k), lambda b, qi, ki, *_: (0, ki)))
                 operands.append(
                     jnp.where(jnp.arange(kv_pad_len) < kv_len_eff,
-                              0.0, -1e9).astype(jnp.float32))
+                              0.0, -1e9).astype(jnp.float32)[None, :])
             else:
                 # keep the kernel arity fixed: splice a None bias_ref in
                 inner = kern
