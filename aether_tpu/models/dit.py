@@ -680,6 +680,7 @@ def dit_forward(
     fixed_max: Optional[bool] = None,
     qk_int8: Optional[bool] = None,
     pv_int8: Optional[bool] = None,
+    block_scan=None,
 ) -> jnp.ndarray:
     """Denoiser forward.
 
@@ -764,8 +765,12 @@ def dit_forward(
     else:
         rc = rs = None
 
-    # 3. transformer blocks under lax.scan over stacked params
-    def block_body(carry, block_p):
+    # 3. transformer blocks under lax.scan over stacked params.
+    # ``temb`` is an explicit argument (not a closure capture) so alternative
+    # executors — ``parallel/pipeline.py``'s GPipe scheduler microbatches the
+    # batch axis and must slice temb alongside the activations — can run the
+    # SAME body: pp changes only the schedule, never the block math.
+    def block_body(carry, block_p, temb):
         hid, enc = carry
         h_n, e_n, gate, e_gate = _ada_modulate(
             hid, enc, temb, block_p["norm1"], cfg.norm_eps
@@ -794,9 +799,21 @@ def dit_forward(
         return (hid, enc), ((hid, enc) if collect_blocks else None)
 
     scanned_body = jax.checkpoint(block_body) if remat else block_body
-    (video_tokens, text_tokens), block_outs = jax.lax.scan(
-        scanned_body, (video_tokens, text_tokens), params["blocks"]
-    )
+    if block_scan is not None:
+        # alternative execution schedule (pipeline parallelism): same body,
+        # sharded/microbatched dispatch — see parallel/pipeline.py
+        if collect_blocks:
+            raise ValueError("collect_blocks is unsupported under block_scan")
+        video_tokens, text_tokens = block_scan(
+            scanned_body, (video_tokens, text_tokens), params["blocks"], temb
+        )
+        block_outs = None
+    else:
+        (video_tokens, text_tokens), block_outs = jax.lax.scan(
+            lambda c, bp: scanned_body(c, bp, temb),
+            (video_tokens, text_tokens),
+            params["blocks"],
+        )
 
     # 4. final norm over the joint stream, AdaLN on video part, project, unpatchify
     joint = jnp.concatenate([text_tokens, video_tokens], axis=1)

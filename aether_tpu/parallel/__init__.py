@@ -3,3 +3,9 @@ from aether_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     shard_params,
 )
+from aether_tpu.parallel.pipeline import (  # noqa: F401
+    make_pipeline_block_scan,
+    make_pp_mesh,
+    pp_block_sharding,
+    shard_blocks_pp,
+)
