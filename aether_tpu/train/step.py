@@ -64,6 +64,7 @@ def diffusion_loss(
     attn_impl: str = "xla",
     t: Optional[jnp.ndarray] = None,
     eps: Optional[jnp.ndarray] = None,
+    block_scan=None,
 ) -> jnp.ndarray:
     """v-prediction MSE at uniformly sampled timesteps.
 
@@ -86,7 +87,8 @@ def diffusion_loss(
         [x_t.astype(clean_latents.dtype), condition_latents], axis=2
     )
     v_pred = dit_forward(
-        params, cfg, model_in, text_embeds, t, rope_cos, rope_sin, attn_impl
+        params, cfg, model_in, text_embeds, t, rope_cos, rope_sin, attn_impl,
+        block_scan=block_scan,
     ).astype(jnp.float32)
     return jnp.mean(jnp.square(v_pred - v_target))
 
@@ -96,6 +98,7 @@ def make_train_step(
     scheduler_cfg: SchedulerConfig,
     tx: optax.GradientTransformation,
     attn_impl: str = "xla",
+    block_scan=None,
 ) -> Callable:
     """Build a pure (state, batch, key) -> (state, loss) step.
 
@@ -103,6 +106,11 @@ def make_train_step(
     rope_cos / rope_sin. Jit it with param shardings from
     ``aether_tpu.parallel.dit_param_sharding`` and batch sharding P('dp') to run
     dp x tp on a mesh.
+
+    ``block_scan`` swaps the DiT's block executor for the GPipe pipeline
+    schedule (``parallel.pipeline.make_pipeline_block_scan``): block params +
+    their adamw moments then live stage-sharded ``P('pp')`` and the backward
+    pass pipelines through the stages automatically (grad of ppermute).
     """
     alphas_cumprod = compute_alphas_cumprod(scheduler_cfg)
     sqrt_a = jnp.asarray(np.sqrt(alphas_cumprod), jnp.float32)
@@ -115,7 +123,7 @@ def make_train_step(
                 batch["clean_latents"], batch["condition_latents"],
                 batch["text_embeds"],
                 batch.get("rope_cos"), batch.get("rope_sin"),
-                key, attn_impl,
+                key, attn_impl, block_scan=block_scan,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

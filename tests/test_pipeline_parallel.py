@@ -119,6 +119,49 @@ def test_pp_remat_composes():
                                    atol=5e-3, rtol=1e-3)
 
 
+def test_pp_train_step_matches_unsharded():
+    """A full adamw train step under the pp schedule (block params + moments
+    stage-sharded P('pp')) must reproduce the unsharded step's loss and
+    updated params — same key => same t/eps draws on both paths."""
+    from aether_tpu.config import SchedulerConfig
+    from aether_tpu.train.step import create_train_state, make_train_step
+
+    batch_sz, pp, n_micro = 4, 2, 2
+    cfg, params, hidden, text, _, cos, sin = _setup(batch_sz, num_layers=4)
+    sched = SchedulerConfig.aetherv1()
+    rng = np.random.default_rng(3)
+    cond_ch = cfg.in_channels - cfg.out_channels
+    batch = {
+        "clean_latents": jnp.asarray(
+            rng.normal(size=(batch_sz, 3, cfg.out_channels, 8, 12)), jnp.float32
+        ),
+        "condition_latents": jnp.asarray(
+            rng.normal(size=(batch_sz, 3, cond_ch, 8, 12)), jnp.float32
+        ),
+        "text_embeds": text,
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }
+    key = jax.random.PRNGKey(11)
+
+    state_ref, tx = create_train_state(params, learning_rate=1e-4)
+    step_ref = make_train_step(cfg, sched, tx)
+    new_ref, loss_ref = step_ref(state_ref, batch, key)
+
+    mesh = make_pp_mesh(pp, 1, devices=jax.devices()[:pp])
+    params_pp = dict(params, blocks=shard_blocks_pp(params["blocks"], mesh))
+    state_pp, tx_pp = create_train_state(params_pp, learning_rate=1e-4)
+    block_scan = make_pipeline_block_scan(mesh, n_micro=n_micro)
+    step_pp = jax.jit(make_train_step(cfg, sched, tx_pp, block_scan=block_scan))
+    new_pp, loss_pp = step_pp(state_pp, batch, key)
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new_ref.params),
+                    jax.tree_util.tree_leaves(new_pp.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_pp_shape_guards():
     cfg, params, hidden, text, t, cos, sin = _setup(4, num_layers=4)
     mesh = make_pp_mesh(4, 1, devices=jax.devices()[:4])
