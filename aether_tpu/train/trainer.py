@@ -95,6 +95,7 @@ def make_ema_train_step(
     sched_cfg: SchedulerConfig,
     train_cfg: TrainConfig,
     tx: optax.GradientTransformation,
+    block_scan=None,
 ) -> Callable:
     alphas = compute_alphas_cumprod(sched_cfg)
     sqrt_a = jnp.asarray(np.sqrt(alphas), jnp.float32)
@@ -120,6 +121,7 @@ def make_ema_train_step(
             params, dit_cfg, model_in, batch["text_embeds"], t,
             batch.get("rope_cos"), batch.get("rope_sin"),
             attn_impl=train_cfg.attn_impl, remat=train_cfg.remat,
+            block_scan=block_scan,
         ).astype(jnp.float32)
         return jnp.mean(jnp.square(v_pred - v_target))
 
@@ -178,6 +180,7 @@ class Trainer:
         mesh=None,
         init_params: Optional[Dict[str, Any]] = None,
         seed: int = 0,
+        pp_microbatches: int = 2,
     ):
         self.dit_cfg = dit_cfg
         self.train_cfg = train_cfg
@@ -187,7 +190,22 @@ class Trainer:
 
         params = (init_params if init_params is not None
                   else init_dit_params(jax.random.PRNGKey(seed), dit_cfg))
-        if mesh is not None:
+        block_scan = None
+        if mesh is not None and "pp" in mesh.axis_names:
+            # GPipe pipeline mesh: blocks (and, via tx.init, their adamw
+            # moments) live stage-sharded P('pp'); the block scan executes on
+            # the microbatched ppermute schedule (parallel/pipeline.py)
+            from aether_tpu.parallel.pipeline import (
+                make_pipeline_block_scan,
+                shard_blocks_pp,
+            )
+
+            params = dict(params,
+                          blocks=shard_blocks_pp(params["blocks"], mesh))
+            block_scan = make_pipeline_block_scan(
+                mesh, n_micro=pp_microbatches
+            )
+        elif mesh is not None:
             from aether_tpu.parallel.mesh import dit_param_sharding, shard_params
 
             params = shard_params(params, dit_param_sharding(dit_cfg, mesh),
@@ -202,7 +220,8 @@ class Trainer:
             ),
         )
         self._step_fn = jax.jit(
-            make_ema_train_step(dit_cfg, self.sched_cfg, train_cfg, self.tx)
+            make_ema_train_step(dit_cfg, self.sched_cfg, train_cfg, self.tx,
+                                block_scan=block_scan)
         )
         if train_cfg.checkpoint_dir:
             self.maybe_restore()
@@ -314,6 +333,10 @@ def main(argv=None) -> None:
     p.add_argument("--checkpoint_every", type=int, default=500)
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--tp", type=int, default=None)
+    p.add_argument("--pp", type=int, default=None,
+                   help="GPipe pipeline stages (stage-shards the block stack; "
+                        "mutually exclusive with --tp).")
+    p.add_argument("--pp_microbatches", type=int, default=2)
     p.add_argument("--init_checkpoint", type=str, default=None,
                    help="Converted DiT checkpoint to fine-tune from.")
     args = p.parse_args(argv)
@@ -331,7 +354,16 @@ def main(argv=None) -> None:
     )
 
     mesh = None
-    if len(jax.devices()) > 1:
+    if args.pp:
+        if args.tp:
+            raise SystemExit("--pp and --tp are mutually exclusive (the "
+                             "attention shard_map cannot nest inside the "
+                             "pipeline shard_map)")
+        from aether_tpu.parallel.pipeline import make_pp_mesh
+
+        mesh = make_pp_mesh(args.pp, args.dp or 1)
+        print(f"mesh: {mesh}")
+    elif len(jax.devices()) > 1:
         from aether_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(dp=args.dp, tp=args.tp)
@@ -343,7 +375,8 @@ def main(argv=None) -> None:
 
         init_params = load_checkpoint(args.init_checkpoint)
 
-    trainer = Trainer(dit_cfg, train_cfg, mesh=mesh, init_params=init_params)
+    trainer = Trainer(dit_cfg, train_cfg, mesh=mesh, init_params=init_params,
+                      pp_microbatches=args.pp_microbatches)
     if not args.synthetic:
         raise SystemExit("only --synthetic data is available in this build; "
                          "pass batches to Trainer.fit() for real data")

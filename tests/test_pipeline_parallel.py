@@ -162,6 +162,29 @@ def test_pp_train_step_matches_unsharded():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_pp_trainer_matches_unsharded_trainer():
+    """The Trainer on a ('dp','pp') mesh (CLI: --pp) must replay the plain
+    trainer's loss trajectory — same seed => same init, same batches, same
+    key stream; only the executor schedule differs."""
+    from aether_tpu.train.trainer import TrainConfig, Trainer, synthetic_batches
+
+    cfg = DiTConfig.tiny()
+    tc = TrainConfig(learning_rate=1e-4, total_steps=2, warmup_steps=1,
+                     log_every=1, remat=False)
+    ref = Trainer(cfg, tc, seed=5)
+    losses_ref = ref.fit(synthetic_batches(cfg, batch_size=4), steps=2)
+
+    mesh = make_pp_mesh(2, 1, devices=jax.devices()[:2])
+    pp = Trainer(cfg, tc, mesh=mesh, seed=5, pp_microbatches=2)
+    losses_pp = pp.fit(synthetic_batches(cfg, batch_size=4), steps=2)
+
+    np.testing.assert_allclose(losses_pp, losses_ref, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ref.state.ema_params),
+                    jax.tree_util.tree_leaves(pp.state.ema_params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_pp_shape_guards():
     cfg, params, hidden, text, t, cos, sin = _setup(4, num_layers=4)
     mesh = make_pp_mesh(4, 1, devices=jax.devices()[:4])
