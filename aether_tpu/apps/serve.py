@@ -555,6 +555,12 @@ def main(argv=None) -> None:
                    choices=["tiny", "aetherv1"])
     p.add_argument("--raymap_dir", type=str, default=None,
                    help="Directory of canned raymap_<name>.npy actions.")
+    p.add_argument("--dp", type=int, default=None,
+                   help="Data-parallel mesh axis for serving (CFG pair / "
+                        "batched windows shard over it).")
+    p.add_argument("--tp", type=int, default=None,
+                   help="Tensor-parallel mesh axis (Megatron DiT sharding + "
+                        "shard_map'd flash attention).")
     p.add_argument("--wire_rgb", type=str, default=None,
                    choices=["u8", "yuv420"])
     p.add_argument("--wire_input", type=str, default="u8",
