@@ -332,21 +332,51 @@ def _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
     _SUB[0], _SUB[1], _SUB[2] = vae_encode_s, denoise_s, vae_decode_s
 
 
+def _cpu_env(env: dict) -> dict:
+    """Child env that cannot touch the TPU tunnel.
+
+    JAX_PLATFORMS=cpu alone is NOT enough: the axon sitecustomize (on
+    PYTHONPATH) monkeypatches ``_get_backend_uncached`` so even
+    ``jax.default_backend()`` initializes the axon PJRT client, which blocks
+    indefinitely when the tunnel is degraded (observed 2026-08-17). Stripping
+    the sitecustomize dir from PYTHONPATH removes the axon plugin entirely.
+    """
+    env = dict(env)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    )
+    return env
+
+
 def _run_child(mode: str, attempts: int, tag: str,
-               timeout_s: Optional[float] = None):
+               timeout_s: Optional[float] = None,
+               deadline_s: Optional[float] = None,
+               force_cpu: bool = False):
     """Run one measurement child (AETHER_BENCH_MODE=mode); returns the parsed
     JSON dict or None. Retries with a fresh device client — a wedged tunnel
     client never recovers in-process (observed: once a RESOURCE_EXHAUSTED
-    fires, every subsequent op fails). ``timeout_s`` bounds one attempt so a
-    hung channel warm (observed up to ~19 min) can't eat the whole driver
-    budget."""
+    fires, every subsequent op fails). ``timeout_s`` bounds one attempt (a
+    degraded tunnel hangs device init indefinitely; channel warm alone has
+    taken 38 min); ``deadline_s`` stops retrying once the total elapsed time
+    exceeds it so a dead tunnel can't eat the whole driver budget."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     env["AETHER_BENCH_CHILD"] = "1"
     env["AETHER_BENCH_MODE"] = mode
+    if force_cpu:
+        env = _cpu_env(env)
+    t_start = time.monotonic()
     for attempt in range(attempts):
+        if deadline_s is not None and attempt > 0 and \
+                time.monotonic() - t_start > deadline_s:
+            print(f"bench[{tag}] deadline {deadline_s}s exceeded after "
+                  f"{attempt} attempts", file=sys.stderr, flush=True)
+            break
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -395,12 +425,26 @@ def _main_with_process_retry() -> int:
         return main() or 0
 
     attempts = int(os.environ.get("AETHER_BENCH_ATTEMPTS", "5"))
-    result = _run_child("full", attempts, "full")
+    full_timeout = float(os.environ.get("AETHER_BENCH_FULL_TIMEOUT", "5400"))
+    deadline = float(os.environ.get("AETHER_BENCH_DEADLINE", "10800"))
+    result = _run_child("full", attempts, "full", timeout_s=full_timeout,
+                        deadline_s=deadline)
+    degraded_tunnel = result is None
+    if degraded_tunnel:
+        # dead/degraded tunnel: record a CPU tiny-config line rather than
+        # nothing at all — the driver keys off the JSON line existing
+        print("bench[full] accelerator unreachable; falling back to a CPU "
+              "tiny-config measurement", file=sys.stderr, flush=True)
+        result = _run_child("full", 1, "full_cpu", timeout_s=1800.0,
+                            force_cpu=True)
     if result is None:
         return 1
+    if degraded_tunnel:
+        result["degraded"] = "tunnel unreachable; CPU fallback numbers"
     if result.get("backend") != "cpu":
         time.sleep(90.0)  # back-to-back tunnel clients hang in device init
-    pred = _run_child("pred", 1, "pred", timeout_s=3600.0)
+    pred = _run_child("pred", 1, "pred", timeout_s=3600.0,
+                      force_cpu=degraded_tunnel)
     if pred and pred.get("_pred") and pred["_pred"].get("pred_e2e_s"):
         result["pred_e2e_s"] = pred["_pred"]["pred_e2e_s"]
         result["pred_steps"] = pred["_pred"]["pred_steps"]
