@@ -521,13 +521,31 @@ def _sharded_flash_attention(
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
     spec = P(batch_axis, head_axis, seq_axis, None)
 
-    def _sp_attention(q_s, k_s, v_s):
-        k_full = jax.lax.all_gather(k_s, "sp", axis=2, tiled=True)
-        v_full = jax.lax.all_gather(v_s, "sp", axis=2, tiled=True)
-        return flash_attention(q_s, k_full, v_full, interpret=interpret,
-                               fixed_max=fixed_max, qk_int8=qk_int8,
-                               pv_int8=pv_int8,
-                               kv_valid=seq if seq_pad != seq else None)
+    # AETHER_SP_RING=1 swaps the all-gather for ring attention: K/V stripes
+    # rotate via single-hop ppermutes (S/sp per-shard K/V memory, transfers
+    # overlapped with per-stripe kernels) and the fixed-max family's shared
+    # score bound makes the cross-stripe merge pure addition — see
+    # ops/flash_attention.py::ring_attention. Exact vs the gathered path;
+    # gather stays the default pending an on-chip A/B. Env is read at trace
+    # time (like use_fixed_max_default) so one process picks one path.
+    import os
+
+    if (os.environ.get("AETHER_SP_RING", "0") == "1" and fixed_max
+            and not pv_int8):
+        from aether_tpu.ops.flash_attention import ring_attention
+
+        def _sp_attention(q_s, k_s, v_s):
+            return ring_attention(q_s, k_s, v_s, "sp", sp,
+                                  n_pad=seq_pad - seq, interpret=interpret,
+                                  qk_int8=qk_int8)
+    else:
+        def _sp_attention(q_s, k_s, v_s):
+            k_full = jax.lax.all_gather(k_s, "sp", axis=2, tiled=True)
+            v_full = jax.lax.all_gather(v_s, "sp", axis=2, tiled=True)
+            return flash_attention(q_s, k_full, v_full, interpret=interpret,
+                                   fixed_max=fixed_max, qk_int8=qk_int8,
+                                   pv_int8=pv_int8,
+                                   kv_valid=seq if seq_pad != seq else None)
 
     out = jax.shard_map(
         _sp_attention, mesh=mesh, in_specs=(spec, spec, spec),

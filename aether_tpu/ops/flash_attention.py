@@ -155,14 +155,14 @@ def _flash_kernel_fixed_max(
     k_ref,
     v_ref,
     o_ref,
-    acc_scratch,
-    *,
+    *rest,
     kv_len: int,
     block_k: int,
     num_kv_blocks: int,
     dim: int,
     noshift: bool = False,
     qk_int8: bool = False,
+    unnormalized: bool = False,
 ):
     """Fixed-softmax-max attention cell (``fixed_max=True`` path).
 
@@ -204,6 +204,11 @@ def _flash_kernel_fixed_max(
     multiply fuses into the exp2 pipeline instead of an S^2 outer-product
     rescale.
     """
+    if unnormalized:
+        l_ref, acc_scratch = rest
+    else:
+        (acc_scratch,) = rest
+        l_ref = None
     kv_idx = pl.program_id(2)
     del kv_len, block_k  # padding handled via the zeroed ones-column
 
@@ -241,8 +246,15 @@ def _flash_kernel_fixed_max(
     def _store():
         acc = acc_scratch[...]
         l_final = acc[:, :, dim : dim + 1]
-        l_inv = jnp.where(l_final <= 0.0, 1.0, 1.0 / l_final)
-        o_ref[...] = (acc[:, :, :dim] * l_inv).astype(o_ref.dtype)
+        if unnormalized:
+            # ring/sequence-parallel merge path: emit the RAW numerator and
+            # denominator (both in the shared 2^-m scale) — partials from
+            # other kv stripes computed under the SAME fixed max just add
+            o_ref[...] = acc[:, :, :dim].astype(o_ref.dtype)
+            l_ref[...] = l_final
+        else:
+            l_inv = jnp.where(l_final <= 0.0, 1.0, 1.0 / l_final)
+            o_ref[...] = (acc[:, :, :dim] * l_inv).astype(o_ref.dtype)
 
 
 def _flash_kernel_pv8(
@@ -390,7 +402,7 @@ def _pick_block(seq: int, requested: int) -> int:
     jax.jit,
     static_argnames=("sm_scale", "block_q", "block_k", "heads_per_cell",
                      "interpret", "denom", "fixed_max", "noshift", "kv_valid",
-                     "qk_int8", "pv_int8"),
+                     "qk_int8", "pv_int8", "unnormalized"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -407,7 +419,9 @@ def flash_attention(
     kv_valid: Optional[int] = None,
     qk_int8: bool = False,
     pv_int8: bool = False,
-) -> jnp.ndarray:
+    score_bound: Optional[jnp.ndarray] = None,
+    unnormalized: bool = False,
+):
     """Flash attention over q [B, H, Sq, D] x k/v [B, H, Skv, D]; full
     (non-causal) attention. Sq == Skv for self-attention; Sq < Skv is the
     sequence-parallel path (each shard's q stripe against the gathered full
@@ -478,6 +492,11 @@ def flash_attention(
         # deployment shape for this kernel
         raise ValueError("pv_int8 requires qk_int8=True (the mixed "
                          "bf16-QK/int8-PV cell crashes the TPU compiler)")
+    if (score_bound is not None or unnormalized) and (not fixed_max or pv_int8):
+        raise ValueError("score_bound / unnormalized are fixed-max-family "
+                         "options (the ring/sequence-parallel merge relies "
+                         "on every stripe sharing one softmax shift; the "
+                         "pv_int8 cell re-derives its own integer max)")
     batch, heads, q_len, dim = q.shape
     kv_len_in = k.shape[2]
     if sm_scale is None:
@@ -520,6 +539,10 @@ def flash_attention(
     if dim >= 128:
         # no spare lane for the ones column in a 128-lane tile: fall back to
         # the VPU denominator (fixed_max and qk_int8 depend on the mxu layout)
+        if unnormalized:
+            raise ValueError("unnormalized (ring merge) needs the mxu "
+                             "ones-column denominator, unavailable at "
+                             "head_dim >= 128")
         denom = "vpu"
         fixed_max = False
         qk_int8 = False
@@ -588,19 +611,31 @@ def flash_attention(
         return out[:, :, :q_len] if q_pad_len != q_len else out
 
     if fixed_max:
-        # per-head-group score upper bound (log2 domain; the sm_scale*log2e
-        # fold is already inside q on the bf16 path, applied explicitly on
-        # the int8 path): max_row ||q|| * max_row ||k|| over each grid
-        # cell's hper heads. Padded rows are zero and cannot raise it.
-        qn = jnp.sqrt(jnp.sum(jnp.square(qp.astype(jnp.float32)), axis=-1))
-        kn = jnp.sqrt(jnp.sum(jnp.square(kp.astype(jnp.float32)), axis=-1))
-        bounds = (jnp.max(qn, axis=-1) * jnp.max(kn, axis=-1)).reshape(
-            bh // hper, hper
-        ).max(axis=-1)  # (bh//hper,)
+        if score_bound is not None:
+            # externally supplied bound (ring attention: the pmax-shared
+            # global bound so every kv stripe's partials land in the same
+            # 2^-m scale). Already in the folded log2 score domain.
+            bounds = jnp.broadcast_to(
+                jnp.asarray(score_bound, jnp.float32).reshape(()),
+                (bh // hper,))
+        else:
+            # per-head-group score upper bound (log2 domain; the
+            # sm_scale*log2e fold is already inside q on the bf16 path,
+            # applied explicitly on the int8 path): max_row ||q|| *
+            # max_row ||k|| over each grid cell's hper heads. Padded rows
+            # are zero and cannot raise it.
+            qn = jnp.sqrt(jnp.sum(jnp.square(qp.astype(jnp.float32)),
+                                  axis=-1))
+            kn = jnp.sqrt(jnp.sum(jnp.square(kp.astype(jnp.float32)),
+                                  axis=-1))
+            bounds = (jnp.max(qn, axis=-1) * jnp.max(kn, axis=-1)).reshape(
+                bh // hper, hper
+            ).max(axis=-1)  # (bh//hper,)
 
         if qk_int8:
             fold = sm_scale * _LOG2E
-            bounds = bounds * fold
+            if score_bound is None:
+                bounds = bounds * fold
             # symmetric per-head-group max-abs quantization; the combined
             # dequant (scale_q * scale_k * sm_scale * log2e) prefetches as
             # one scalar per grid cell
@@ -673,6 +708,17 @@ def flash_attention(
             return _finish(out)
 
         def _run_fixed(ns: bool):
+            o_spec = pl.BlockSpec((hper, block_q, dim),
+                                  lambda b, qi, ki, *_: (b, qi, 0))
+            if unnormalized:
+                shapes = (out_shape,
+                          jax.ShapeDtypeStruct((bh, q_pad_len, 1),
+                                               jnp.float32))
+                specs = (o_spec,
+                         pl.BlockSpec((hper, block_q, 1),
+                                      lambda b, qi, ki, *_: (b, qi, 0)))
+            else:
+                shapes, specs = out_shape, o_spec
             return pl.pallas_call(
                 functools.partial(
                     _flash_kernel_fixed_max,
@@ -682,8 +728,9 @@ def flash_attention(
                     dim=dim,
                     noshift=ns,
                     qk_int8=qk_int8,
+                    unnormalized=unnormalized,
                 ),
-                out_shape=out_shape,
+                out_shape=shapes,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=2,
                     grid=(bh // hper, num_q_blocks, num_kv_blocks),
@@ -697,8 +744,7 @@ def flash_attention(
                         pl.BlockSpec((hper, block_k, dim_v),
                                      lambda b, qi, ki, *_: (b, ki, 0)),
                     ],
-                    out_specs=pl.BlockSpec((hper, block_q, dim),
-                                           lambda b, qi, ki, *_: (b, qi, 0)),
+                    out_specs=specs,
                     scratch_shapes=[
                         pltpu.VMEM((hper, block_q, dim_v), jnp.float32),
                     ],
@@ -707,6 +753,17 @@ def flash_attention(
                 cost_estimate=cost_estimate,
                 interpret=interpret,
             )(bounds, scales, qp, kp, vp)
+
+        if unnormalized:
+            # ring-merge path: ns is forced shifted (the caller's shared
+            # bound IS the scale; noshift would put stripes on a different
+            # scale than the caller's padding correction assumes)
+            o, l = _run_fixed(False)
+            o = _finish(o)
+            l = l.reshape(batch, heads, q_pad_len, 1)
+            if q_pad_len != q_len:
+                l = l[:, :, :q_len]
+            return o, l
 
         if noshift is None:
             # runtime auto-pick: exp2(s) raw stays in the f32/bf16 exponent
@@ -751,3 +808,84 @@ def flash_attention(
         interpret=interpret,
     )(qp, kp, vp)
     return _finish(out)
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str,
+    axis_size: int,
+    sm_scale: Optional[float] = None,
+    n_pad: int = 0,
+    interpret: bool = False,
+    qk_int8: bool = False,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    heads_per_cell: int = 4,
+) -> jnp.ndarray:
+    """Ring (sequence-parallel) flash attention: call INSIDE ``shard_map``.
+
+    ``q``/``k``/``v`` are each shard's token stripe ``[B, H, S/axis_size, D]``
+    of a sequence sharded over mesh axis ``axis_name``. Instead of
+    all-gathering the full K/V (peak memory S*D per shard, one big collective
+    up front — the default `'gather'` sp path in ``models/dit.py``), the K/V
+    stripes ROTATE around the ring: ``axis_size - 1`` single-hop ``ppermute``
+    steps over ICI, each overlapping the next stripe's transfer with the
+    current stripe's kernel. Per-shard K/V memory stays S/axis_size * D.
+
+    TPU-first merge trick: the fixed-max kernel family takes an a-priori
+    score bound as the softmax shift, so sharing ONE bound across every
+    stripe (``pmax`` of per-shard Cauchy-Schwarz bounds — one scalar
+    collective) puts all per-stripe partial numerators/denominators in the
+    SAME ``2^-m`` scale: merging is pure addition, none of the
+    (max, rescale) bookkeeping classic ring attention needs. Exact for
+    QK-normalized attention, like ``fixed_max`` itself.
+
+    Sequence padding (``n_pad`` zero rows appended to the globally padded
+    sequence, living in the LAST stripe) is corrected EXACTLY on the
+    denominator: zeroed k rows score exactly 0, so across the full ring each
+    q row accumulates precisely ``n_pad * 2^-bound`` of spurious denominator
+    mass — one scalar subtraction removes it (their v rows are zero, so the
+    numerator needs nothing). This avoids a per-stripe ``kv_valid`` that
+    would have to vary with the runtime ring position.
+
+    ``qk_int8`` composes: stripes quantize locally (the dequant scale rides
+    scalar prefetch and is applied before the exp2, so per-stripe scales
+    don't break the shared shift).
+
+    Reference scaling context: the reference handles long sequences only
+    algorithmically (sliding windows, SURVEY.md section 5 — no ring/Ulysses
+    anywhere); this is new TPU-native capability, exact vs the gathered path.
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+
+    f32 = jnp.float32
+    # per-shard Cauchy-Schwarz bound pieces: max row norm of the LOCAL q
+    # stripe (q never moves) x the GLOBAL max k row norm (pmax, one scalar)
+    nq = jnp.sqrt(jnp.max(jnp.sum(jnp.square(q.astype(f32)), axis=-1)))
+    nk = jnp.sqrt(jnp.max(jnp.sum(jnp.square(k.astype(f32)), axis=-1)))
+    gk = jax.lax.pmax(nk, axis_name)
+    bound = nq * gk * (sm_scale * _LOG2E)  # folded log2 score domain
+
+    num = jnp.zeros(q.shape[:3] + (q.shape[-1],), f32)
+    den = jnp.zeros(q.shape[:3] + (1,), f32)
+    perm = [(j, (j - 1) % axis_size) for j in range(axis_size)]
+    k_cur, v_cur = k, v
+    for step in range(axis_size):
+        o_s, l_s = flash_attention(
+            q, k_cur, v_cur, sm_scale=sm_scale, fixed_max=True,
+            noshift=False, qk_int8=qk_int8, score_bound=bound,
+            unnormalized=True, interpret=interpret, block_q=block_q,
+            block_k=block_k, heads_per_cell=heads_per_cell,
+        )
+        num = num + o_s.astype(f32)
+        den = den + l_s
+        if step != axis_size - 1:
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+    if n_pad:
+        den = den - n_pad * jnp.exp2(-bound)
+    den = jnp.where(den <= 0.0, 1.0, den)
+    return (num / den).astype(q.dtype)
