@@ -28,10 +28,7 @@ from typing import Optional
 import numpy as np
 
 from aether_tpu.geometry.raymap import raymap_to_poses
-from aether_tpu.pipeline.windowing import (
-    blend_and_merge_window_results,
-    get_window_starts,
-)
+from aether_tpu.pipeline.windowing import blend_and_merge_window_results
 from aether_tpu.utils.profiling import stage_timer
 
 
@@ -318,67 +315,18 @@ def main(argv=None) -> None:
         if args.task == "reconstruction":
             assert args.video is not None, "--video is required for reconstruction"
             video = _load_video(args.video)
-            from aether_tpu.pipeline.windowing import fit_num_frames
+            from aether_tpu.pipeline.windowing import run_windowed_reconstruction
 
-            args.num_frames = fit_num_frames(
-                len(video), args.num_frames, _cfg.allowed_num_frames
+            window_results, window_indices, args.num_frames = (
+                run_windowed_reconstruction(
+                    pipeline, video, raymap=raymap,
+                    height=args.height, width=args.width,
+                    num_frames=args.num_frames, fps=args.fps,
+                    num_inference_steps=args.num_inference_steps,
+                    stride=args.sliding_window_stride, seed=args.seed,
+                    batch_windows=args.batch_windows,
+                )
             )
-            window_results, window_indices = [], get_window_starts(
-                len(video), args.num_frames, args.sliding_window_stride
-            )
-            if args.batch_windows > 1 and raymap is None:
-                # deferred across batches: batch j+1's compute is enqueued
-                # before batch j's host transfer resolves (same pipelining as
-                # the serial window loop below)
-                deferred = None
-                for i in range(0, len(window_indices), args.batch_windows):
-                    chunk = window_indices[i : i + args.batch_windows]
-                    stacked = np.stack(
-                        [video[s : s + args.num_frames] for s in chunk]
-                    )
-                    with stage_timer(f"dispatch@{chunk[0]}x{len(chunk)}"):
-                        out = pipeline.batch_reconstruct(
-                            stacked, height=args.height, width=args.width,
-                            num_frames=args.num_frames,
-                            num_inference_steps=args.num_inference_steps or 4,
-                            fps=args.fps, seed=args.seed, defer_host=True,
-                        )
-                    if deferred is not None:
-                        with stage_timer(f"resolve@{prev_chunk0}"):
-                            window_results.extend(deferred.resolve())
-                    deferred, prev_chunk0 = out, chunk[0]
-                if deferred is not None:
-                    with stage_timer(f"resolve@{prev_chunk0}"):
-                        window_results.extend(deferred.resolve())
-            else:
-                # defer_host pipelining: window i+1's compute is enqueued
-                # before window i's host transfer is paid for, so the D2H
-                # pull rides the link during the next denoise
-                deferred = None
-                for start in window_indices:
-                    # timed stage is named dispatch@, not window@: under
-                    # defer_host it covers only the async dispatch of this
-                    # window (the host transfer resolves outside, overlapped
-                    # with the next window) and must not be read as latency
-                    with stage_timer(f"dispatch@{start}"):
-                        out = pipeline(
-                            task="reconstruction",
-                            video=video[start : start + args.num_frames],
-                            raymap=raymap[start : start + args.num_frames]
-                            if raymap is not None else None,
-                            height=args.height, width=args.width,
-                            num_frames=args.num_frames, fps=args.fps,
-                            num_inference_steps=args.num_inference_steps,
-                            guidance_scale=1.0, use_dynamic_cfg=False,
-                            seed=args.seed, defer_host=True,
-                        )
-                    if deferred is not None:
-                        with stage_timer(f"resolve@{prev_start}"):
-                            window_results.append(deferred.resolve())
-                    deferred, prev_start = out, start
-                if deferred is not None:
-                    with stage_timer(f"resolve@{prev_start}"):
-                        window_results.append(deferred.resolve())
             rgb, disparity, poses, pointmaps = blend_and_merge_window_results(
                 window_results, window_indices, args.height, args.width,
                 smooth_camera=args.smooth_camera,

@@ -1,9 +1,13 @@
 """Web serving app: browser UI + JSON API over the Aether pipeline.
 
 Capability parity with reference ``scripts/demo_gradio.py`` (1965 LoC): the
-same three tasks behind a queued web front-end with sliders for frames / fps /
-steps / stride / CFG, canned raymap actions for prediction, and downloadable
-GLB / video artifacts. The reference uses Gradio (unavailable in this image);
+same three tasks behind a queued web front-end with controls for frames / fps /
+steps / stride / CFG plus the reference's advanced options (seed, dynamic-CFG
+override, post-reconstruction toggle, camera smoothing method, pointmap
+alignment, max-depth / rtol edge masking, GLB frame interval —
+``demo_gradio.py:1528-1632``), canned raymap actions for prediction,
+live staged progress, an embedded WebGL point-cloud viewer with per-frame GLB
+selection, and downloadable GLB / video artifacts. The reference uses Gradio (unavailable in this image);
 this is a dependency-free stdlib ``http.server`` implementation:
 
 - ``GET /``              single-page UI
@@ -66,6 +70,22 @@ a{display:block}</style></head><body>
 <label>height <input name="height" type="number" value="480" style="width:4.5em"></label>
 <label>width <input name="width" type="number" value="720" style="width:4.5em"></label>
 </div></fieldset>
+<details><summary>Advanced</summary><fieldset><div class="row">
+<label>seed <input name="seed" type="number" value="42" style="width:6em"></label>
+<label>dynamic CFG <select name="dynamic_cfg"><option value="">task default</option>
+<option>on</option><option>off</option></select></label>
+<label>post-reconstruction <select name="post_reconstruction">
+<option selected>yes</option><option>no</option></select></label>
+<label>smooth camera <select name="smooth_camera">
+<option selected>yes</option><option>no</option></select></label>
+<label>smooth method <select name="smooth_method"><option selected>kalman</option>
+<option>gaussian</option><option>savgol</option><option>ma</option></select></label>
+<label>align pointmaps <select name="align_pointmaps">
+<option selected>no</option><option>yes</option></select></label>
+<label>max depth <input name="max_depth" type="number" value="100" style="width:5em"></label>
+<label>rtol <input name="rtol" type="number" step="0.01" value="0.2" style="width:5em"></label>
+<label>GLB every Nth frame <input name="pc_interval" type="number" value="10" style="width:4em"></label>
+</div></fieldset></details>
 <button type="submit">Run</button></form>
 <h2>Progress</h2>
 <div id="progress">idle<div id="bar"><div></div></div></div>
@@ -285,7 +305,6 @@ class JobRunner:
         from aether_tpu.apps.demo import save_output
         from aether_tpu.pipeline.windowing import (
             blend_and_merge_window_results,
-            get_window_starts,
         )
 
         task = params["task"]
@@ -299,44 +318,51 @@ class JobRunner:
         fps = int(params.get("fps", 12))
         steps = params.get("steps")
         cfg = params.get("cfg")
+        seed = int(params.get("seed", 42))
         raymap = params.get("raymap_array")
 
         ns = argparse.Namespace(
             task=task, output_dir=job_dir, height=height, width=width,
-            max_depth=100.0, rtol=0.2, smooth_camera=True,
-            smooth_method="kalman", align_pointmaps=False,
-            pointcloud_save_frame_interval=10,
+            max_depth=float(params.get("max_depth", 100.0)),
+            rtol=float(params.get("rtol", 0.2)),
+            smooth_camera=params.get("smooth_camera", True),
+            smooth_method=params.get("smooth_method", "kalman"),
+            align_pointmaps=params.get("align_pointmaps", False),
+            pointcloud_save_frame_interval=int(params.get("pc_interval", 10)),
             video="upload.mp4", image="upload.png", goal="goal.png",
         )
 
         if task == "reconstruction":
-            from aether_tpu.pipeline.windowing import fit_num_frames
+            from aether_tpu.pipeline.windowing import run_windowed_reconstruction
 
             video = params["video_array"]
             stride = int(params.get("stride", 24))
-            num_frames = fit_num_frames(
-                len(video), num_frames,
-                self.pipeline.config.allowed_num_frames,
-            )
-            window_results, window_indices = [], get_window_starts(
-                len(video), num_frames, stride
-            )
-            n_windows = len(window_indices)
-            for i, start in enumerate(window_indices):
-                prog["detail"] = f"window {i + 1}/{n_windows}"
-                prog["frac"] = 0.9 * i / n_windows
-                out = self.pipeline(
-                    task=task, video=video[start : start + num_frames],
-                    raymap=raymap[start : start + num_frames]
-                    if raymap is not None else None,
+
+            def on_window(done, total):
+                prog["detail"] = f"window {done + 1}/{total}"
+                prog["frac"] = 0.9 * done / total
+
+            # shared driver: defer_host window pipelining; with a dp mesh the
+            # windows batch through batch_reconstruct (one sharded denoise
+            # per dp-sized chunk), same as the CLI demo
+            mesh = getattr(self.pipeline, "mesh", None)
+            window_results, window_indices, num_frames = (
+                run_windowed_reconstruction(
+                    self.pipeline, video, raymap=raymap,
                     height=height, width=width, num_frames=num_frames,
-                    fps=fps, num_inference_steps=steps, guidance_scale=1.0,
-                    use_dynamic_cfg=False, seed=42,
+                    fps=fps, num_inference_steps=steps, stride=stride,
+                    seed=seed,
+                    batch_windows=int(mesh.shape.get("dp", 1))
+                    if mesh is not None else 1,
+                    progress=on_window,
                 )
-                window_results.append(out)
+            )
             prog["detail"], prog["frac"] = "blending windows", 0.9
             rgb, disparity, poses, pointmaps = blend_and_merge_window_results(
                 window_results, window_indices, height, width,
+                smooth_camera=ns.smooth_camera,
+                smooth_method=ns.smooth_method,
+                align_pointmaps=ns.align_pointmaps,
             )
             prog["detail"], prog["frac"] = "exporting artifacts", 0.95
             written = save_output(rgb, disparity, ns, poses=poses,
@@ -348,18 +374,21 @@ class JobRunner:
                 goal=params.get("goal_array"), raymap=raymap,
                 height=height, width=width, num_frames=num_frames, fps=fps,
                 num_inference_steps=steps, guidance_scale=cfg,
-                use_dynamic_cfg=True, seed=42,
+                use_dynamic_cfg=params.get("dynamic_cfg", True), seed=seed,
             )
-            prog["detail"], prog["frac"] = "post-reconstruction", 0.7
-            recon = self.pipeline(  # post-reconstruction refinement
-                task="reconstruction", video=out.rgb, height=height,
-                width=width, num_frames=num_frames, fps=fps,
-                num_inference_steps=4, guidance_scale=1.0,
-                use_dynamic_cfg=False, seed=42,
-            )
+            if params.get("post_reconstruction", True):
+                prog["detail"], prog["frac"] = "post-reconstruction", 0.7
+                recon = self.pipeline(  # post-reconstruction refinement
+                    task="reconstruction", video=out.rgb, height=height,
+                    width=width, num_frames=num_frames, fps=fps,
+                    num_inference_steps=4, guidance_scale=1.0,
+                    use_dynamic_cfg=False, seed=seed,
+                )
+                disparity, out_raymap = recon.disparity, recon.raymap
+            else:
+                disparity, out_raymap = out.disparity, out.raymap
             prog["detail"], prog["frac"] = "exporting artifacts", 0.95
-            written = save_output(out.rgb, recon.disparity, ns,
-                                  raymap=recon.raymap)
+            written = save_output(out.rgb, disparity, ns, raymap=out_raymap)
 
         artifacts = []
         for value in written.values():
@@ -500,13 +529,27 @@ def _fields_to_params(fields: dict, raymap_dir: Optional[str]) -> dict:
     if task not in ("reconstruction", "prediction", "planning"):
         raise ValueError(f"invalid task {task!r}")
     params: dict = {"task": task}
-    for key in ("num_frames", "fps", "stride", "height", "width"):
+    for key in ("num_frames", "fps", "stride", "height", "width", "seed",
+                "pc_interval"):
         if fields.get(key):
             params[key] = int(fields[key])
     if fields.get("steps"):
         params["steps"] = int(fields["steps"])
-    if fields.get("cfg"):
-        params["cfg"] = float(fields["cfg"])
+    for key in ("cfg", "max_depth", "rtol"):
+        if fields.get(key):
+            params[key] = float(fields[key])
+    # tri-state: absent/"" -> task default (None); "on"/"off" -> forced
+    if fields.get("dynamic_cfg") in ("on", "off"):
+        params["dynamic_cfg"] = fields["dynamic_cfg"] == "on"
+    for key, default in (("post_reconstruction", True),
+                         ("smooth_camera", True),
+                         ("align_pointmaps", False)):
+        val = fields.get(key)
+        params[key] = default if val in (None, "") else val == "yes"
+    if fields.get("smooth_method"):
+        if fields["smooth_method"] not in ("kalman", "gaussian", "savgol", "ma"):
+            raise ValueError(f"unknown smooth_method {fields['smooth_method']!r}")
+        params["smooth_method"] = fields["smooth_method"]
     if task == "reconstruction":
         if "video" not in fields:
             raise ValueError("reconstruction requires a video upload")

@@ -282,7 +282,18 @@ def main(argv=None) -> None:
                    metavar=("H", "W"))
     p.add_argument("--resume", action="store_true",
                    help="Skip sequences whose pred_traj.txt already exists.")
+    p.add_argument("--distributed", action="store_true",
+                   help="Join the multi-host process group (TPU pod "
+                        "auto-detect, or JAX_COORDINATOR_ADDRESS/"
+                        "JAX_NUM_PROCESSES/JAX_PROCESS_ID): sequences shard "
+                        "by jax.process_index(), aggregation runs on host 0 "
+                        "after a barrier.")
     args = p.parse_args(argv)
+
+    from aether_tpu.parallel.distributed import barrier, initialize, is_main
+
+    if args.distributed:
+        initialize()
 
     meta = REL_POSE_DATASETS[args.eval_dataset]
     img_path = os.path.join(args.data_root, meta["img_path"])
@@ -298,8 +309,10 @@ def main(argv=None) -> None:
                       temporal_stride=args.temporal_stride,
                       target=tuple(args.target), resume=args.resume)
 
-    out = aggregate(args.output_dir)
-    print(json.dumps(out["average"], ensure_ascii=False))
+    barrier("rel_pose_eval_done")  # every rank's files must exist (no-op local)
+    if is_main():
+        out = aggregate(args.output_dir)
+        print(json.dumps(out["average"], ensure_ascii=False))
 
 
 if __name__ == "__main__":

@@ -419,7 +419,18 @@ def main(argv=None) -> None:
                    metavar=("H", "W"))
     p.add_argument("--resume", action="store_true",
                    help="Skip sequences whose outputs already exist.")
+    p.add_argument("--distributed", action="store_true",
+                   help="Join the multi-host process group (TPU pod "
+                        "auto-detect, or JAX_COORDINATOR_ADDRESS/"
+                        "JAX_NUM_PROCESSES/JAX_PROCESS_ID): sequences shard "
+                        "by jax.process_index(), scoring runs on host 0 "
+                        "after a barrier.")
     args = p.parse_args(argv)
+
+    from aether_tpu.parallel.distributed import barrier, initialize, is_main
+
+    if args.distributed:
+        initialize()
 
     meta = VIDEO_DEPTH_DATASETS[args.eval_dataset]
     img_path = os.path.join(args.data_root, meta["img_path"])
@@ -439,10 +450,13 @@ def main(argv=None) -> None:
                       spatial_overlap=tuple(args.spatial_overlap),
                       resume=args.resume)
 
-    result = evaluate_depth_predictions(
-        args.output_dir, args.eval_dataset, args.data_root, align=args.align
-    )
-    print(json.dumps(result["summary"], ensure_ascii=False))
+    barrier("video_depth_eval_done")  # all ranks' frames on disk (no-op local)
+    if is_main():
+        result = evaluate_depth_predictions(
+            args.output_dir, args.eval_dataset, args.data_root,
+            align=args.align,
+        )
+        print(json.dumps(result["summary"], ensure_ascii=False))
 
 
 if __name__ == "__main__":

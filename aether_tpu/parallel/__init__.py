@@ -1,3 +1,9 @@
+from aether_tpu.parallel.distributed import (  # noqa: F401
+    barrier,
+    initialize,
+    is_distributed,
+    is_main,
+)
 from aether_tpu.parallel.mesh import (  # noqa: F401
     dit_param_sharding,
     make_mesh,

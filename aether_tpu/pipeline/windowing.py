@@ -58,6 +58,87 @@ def fit_num_frames(total_frames: int, requested: int,
     return max(usable)
 
 
+def run_windowed_reconstruction(
+    pipeline,
+    video: np.ndarray,
+    raymap: Optional[np.ndarray] = None,
+    height: int = 480,
+    width: int = 720,
+    num_frames: int = 41,
+    fps: int = 12,
+    num_inference_steps: Optional[int] = None,
+    stride: int = 24,
+    seed: int = 42,
+    batch_windows: int = 1,
+    progress=None,
+) -> Tuple[list, List[int], int]:
+    """Shared sliding-window reconstruction driver (CLI demo + web server).
+
+    Runs every window with ``defer_host`` pipelining — window i+1's compute is
+    enqueued before window i's device→host transfer resolves, so the D2H pull
+    rides the link during the next denoise — and, with ``batch_windows > 1``
+    and no raymap, stacks windows through :meth:`AetherPipeline
+    .batch_reconstruct` (one dp-sharded denoise per chunk). Timed stages are
+    named ``dispatch@``/``resolve@`` because under deferral neither alone is a
+    per-window latency. ``progress(done, total)`` is called as windows are
+    dispatched. Returns ``(window_results, window_indices, num_frames)`` with
+    ``num_frames`` shrunk to the largest allowed window that fits the clip.
+    """
+    from aether_tpu.utils.profiling import stage_timer
+
+    num_frames = fit_num_frames(
+        len(video), num_frames, pipeline.config.allowed_num_frames
+    )
+    window_indices = get_window_starts(len(video), num_frames, stride)
+    n = len(window_indices)
+    results: list = []
+    deferred = prev = None
+
+    if batch_windows > 1 and raymap is None:
+        for i in range(0, n, batch_windows):
+            chunk = window_indices[i : i + batch_windows]
+            if progress is not None:
+                progress(i, n)
+            stacked = np.stack([video[s : s + num_frames] for s in chunk])
+            with stage_timer(f"dispatch@{chunk[0]}x{len(chunk)}"):
+                out = pipeline.batch_reconstruct(
+                    stacked, height=height, width=width,
+                    num_frames=num_frames,
+                    num_inference_steps=num_inference_steps or 4,
+                    fps=fps, seed=seed, defer_host=True,
+                )
+            if deferred is not None:
+                with stage_timer(f"resolve@{prev}"):
+                    results.extend(deferred.resolve())
+            deferred, prev = out, chunk[0]
+        if deferred is not None:
+            with stage_timer(f"resolve@{prev}"):
+                results.extend(deferred.resolve())
+    else:
+        for j, start in enumerate(window_indices):
+            if progress is not None:
+                progress(j, n)
+            with stage_timer(f"dispatch@{start}"):
+                out = pipeline(
+                    task="reconstruction",
+                    video=video[start : start + num_frames],
+                    raymap=raymap[start : start + num_frames]
+                    if raymap is not None else None,
+                    height=height, width=width, num_frames=num_frames,
+                    fps=fps, num_inference_steps=num_inference_steps,
+                    guidance_scale=1.0, use_dynamic_cfg=False,
+                    seed=seed, defer_host=True,
+                )
+            if deferred is not None:
+                with stage_timer(f"resolve@{prev}"):
+                    results.append(deferred.resolve())
+            deferred, prev = out, start
+        if deferred is not None:
+            with stage_timer(f"resolve@{prev}"):
+                results.append(deferred.resolve())
+    return results, window_indices, num_frames
+
+
 def blend_and_merge_window_results(
     window_results: Sequence,
     window_indices: Sequence[int],

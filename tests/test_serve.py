@@ -129,6 +129,41 @@ def test_prediction_job_with_generated_raymap(server):
     assert any(a.endswith(".glb") for a in status["artifacts"])
 
 
+def test_prediction_advanced_options(server):
+    """Advanced form fields (reference demo_gradio's seed / dynamic-CFG /
+    post-reconstruction / smoothing / GLB-interval controls): a prediction
+    with post_reconstruction=no must use the prediction's own disparity and
+    raymap instead of the 4-step refinement pass."""
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.default_rng(5).uniform(0, 255, (64, 96, 3))).astype("uint8")
+    ).save(buf, format="PNG")
+    resp = _submit_multipart(
+        server + "/api/submit",
+        {"task": "prediction", "num_frames": "17", "fps": "12",
+         "steps": "1", "height": "64", "width": "96", "raymap": "forward",
+         "seed": "7", "dynamic_cfg": "off", "post_reconstruction": "no",
+         "smooth_camera": "no", "align_pointmaps": "yes",
+         "pc_interval": "5", "max_depth": "50", "rtol": "0.1"},
+        {"image": ("obs.png", buf.getvalue())},
+    )
+    job_id = resp["job_id"]
+    for _ in range(300):
+        status = json.loads(_get(f"{server}/api/status/{job_id}"))
+        if status["status"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert status["status"] == "done", status.get("error")
+    stages = [s["stage"] for s in status["progress"]["stages_done"]]
+    # post_reconstruction=no: exactly one sampling pass ran (no second
+    # 4-step reconstruction stage group)
+    assert sum(s == "denoise" for s in stages) == 1, stages
+    assert any(a.endswith(".glb") for a in status["artifacts"])
+
+
 def test_reconstruction_job_with_progress_and_glb(server):
     resp = _submit_multipart(
         server + "/api/submit",

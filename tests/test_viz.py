@@ -103,6 +103,55 @@ def test_glb_structure_and_point_recovery():
     assert cam_prim["mode"] == 4 and "indices" in cam_prim
 
 
+def test_glb_viewer_contract():
+    """The serve UI's WebGL viewer (apps/serve.py _INDEX_HTML showGLB) parses
+    GLBs with a deliberately minimal reader; pin every assumption it makes so
+    the writer can never drift out from under the browser code:
+
+    - first mode-0 primitive across meshes is the point cloud
+    - POSITION is componentType 5126 (f32) VEC3 with min/max (used to center
+      the camera), COLOR_0 is 5121 (u8) VEC3 normalized
+    - the JS reads ``count*3`` elements at ``bufferView.byteOffset +
+      accessor.byteOffset`` with NO byteStride handling -> views must be
+      tightly packed (no byteStride key)
+    - single binary buffer (the JS keeps only the first BIN chunk)
+    """
+    rng = np.random.default_rng(7)
+    t, h, w = 2, 5, 6
+    preds = {
+        "world_points": rng.normal(size=(t, h, w, 3)).astype(np.float32),
+        "images": rng.uniform(0, 1, size=(t, h, w, 3)),
+        "depths": np.full((t, h, w), 2.0),
+        "camera_poses": np.broadcast_to(np.eye(4), (t, 4, 4)).copy(),
+    }
+    gltf, blob = _parse_glb(predictions_to_glb(preds, show_cam=True).to_bytes())
+
+    assert len(gltf["buffers"]) == 1
+    pts = next(
+        pr for mesh in gltf["meshes"] for pr in mesh["primitives"]
+        if pr.get("mode") == 0
+    )
+
+    def read(acc_index, np_dtype, component_type):
+        acc = gltf["accessors"][acc_index]
+        assert acc["componentType"] == component_type
+        assert acc["type"] == "VEC3"
+        bv = gltf["bufferViews"][acc["bufferView"]]
+        assert "byteStride" not in bv  # JS reader assumes tight packing
+        off = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        arr = np.frombuffer(blob, np_dtype, count=acc["count"] * 3, offset=off)
+        return acc, arr.reshape(-1, 3)
+
+    pacc, pos = read(pts["attributes"]["POSITION"], np.float32, 5126)
+    cacc, col = read(pts["attributes"]["COLOR_0"], np.uint8, 5121)
+    assert cacc.get("normalized") is True
+    assert "min" in pacc and "max" in pacc  # viewer centers on (min+max)/2
+    assert pacc["count"] == cacc["count"] == t * h * w
+    np.testing.assert_allclose(pos, preds["world_points"].reshape(-1, 3))
+    expected = np.clip(preds["images"].reshape(-1, 3) * 255, 0, 255)
+    np.testing.assert_allclose(col, expected.round(), atol=1)
+
+
 def test_glb_masks_far_and_edge_points(tmp_path):
     t, h, w = 1, 8, 8
     depths = np.full((t, h, w), 1.0)
