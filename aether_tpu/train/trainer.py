@@ -181,6 +181,7 @@ class Trainer:
         init_params: Optional[Dict[str, Any]] = None,
         seed: int = 0,
         pp_microbatches: int = 2,
+        fsdp: bool = False,
     ):
         self.dit_cfg = dit_cfg
         self.train_cfg = train_cfg
@@ -206,10 +207,14 @@ class Trainer:
                 mesh, n_micro=pp_microbatches
             )
         elif mesh is not None:
+            # fsdp=True: params (and, via tx.init / the EMA tree_map below,
+            # AdamW moments and the EMA copy) live 1/dp-sharded — see
+            # dit_param_sharding
             from aether_tpu.parallel.mesh import dit_param_sharding, shard_params
 
-            params = shard_params(params, dit_param_sharding(dit_cfg, mesh),
-                                  mesh)
+            params = shard_params(
+                params, dit_param_sharding(dit_cfg, mesh, fsdp=fsdp), mesh
+            )
         self.tx = make_optimizer(train_cfg)
         self.state = EmaTrainState(
             step=jnp.zeros((), jnp.int32),
@@ -337,6 +342,10 @@ def main(argv=None) -> None:
                    help="GPipe pipeline stages (stage-shards the block stack; "
                         "mutually exclusive with --tp).")
     p.add_argument("--pp_microbatches", type=int, default=2)
+    p.add_argument("--fsdp", action="store_true",
+                   help="Fully-sharded data parallelism: weights, AdamW "
+                        "moments, and the EMA copy shard 1/dp per chip "
+                        "(ZeRO-3 via GSPMD; requires --dp > 1).")
     p.add_argument("--init_checkpoint", type=str, default=None,
                    help="Converted DiT checkpoint to fine-tune from.")
     args = p.parse_args(argv)
@@ -375,8 +384,10 @@ def main(argv=None) -> None:
 
         init_params = load_checkpoint(args.init_checkpoint)
 
+    if args.fsdp and (args.pp or mesh is None or mesh.shape.get("dp", 1) < 2):
+        raise SystemExit("--fsdp needs a (dp>1, tp) mesh (not --pp)")
     trainer = Trainer(dit_cfg, train_cfg, mesh=mesh, init_params=init_params,
-                      pp_microbatches=args.pp_microbatches)
+                      pp_microbatches=args.pp_microbatches, fsdp=args.fsdp)
     if not args.synthetic:
         raise SystemExit("only --synthetic data is available in this build; "
                          "pass batches to Trainer.fit() for real data")
