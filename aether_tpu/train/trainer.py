@@ -283,16 +283,46 @@ class Trainer:
             template.pop("opt_state")
             template.pop("key")
             restored = load_checkpoint(self._ckpt_path(steps[-1]), template)
+        if self.mesh is not None:
+            # orbax restores each leaf with its template sharding; leaves whose
+            # template was never explicitly mesh-sharded (adam step counts,
+            # anything created eagerly) come back COMMITTED to device 0, which
+            # a jit over the mesh rejects next to 8-device leaves. Re-place
+            # those as mesh-replicated; keep real NamedShardings as-is.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+
+            def replace(live, rest):
+                sh = getattr(live, "sharding", None)
+                if isinstance(sh, NamedSharding):
+                    return rest
+                return jax.device_put(rest, rep)
+
+            for name in ("params", "ema_params", "opt_state"):
+                if name in restored:
+                    restored[name] = jax.tree_util.tree_map(
+                        replace, getattr(self.state, name), restored[name]
+                    )
         self.state = dataclasses.replace(
             self.state,
-            step=jnp.asarray(int(restored["step"]), jnp.int32),
+            step=jnp.asarray(int(restored["step"]), jnp.int32)
+            if self.mesh is None
+            else jax.device_put(
+                np.asarray(int(restored["step"]), np.int32),
+                jax.sharding.NamedSharding(self.mesh,
+                                           jax.sharding.PartitionSpec()),
+            ),
             params=restored["params"],
             ema_params=restored["ema_params"],
             **({"opt_state": restored["opt_state"]}
                if "opt_state" in restored else {}),
         )
         if "key" in restored:
-            self.key = jnp.asarray(restored["key"], jnp.uint32)
+            # host array: uncommitted, so jax.random.split + jit place it
+            # wherever the step's sharded inputs live
+            self.key = np.asarray(jax.device_get(restored["key"]),
+                                  np.uint32)
         return steps[-1]
 
     # -- loop ---------------------------------------------------------------
