@@ -379,3 +379,50 @@ def test_video_depth_batched_grid_matches_serial(rng):
     )
     np.testing.assert_allclose(batch_rgb, serial_rgb, atol=1e-6)
     np.testing.assert_allclose(batch_disp, serial_disp, atol=1e-6)
+
+
+def test_run_sequences_log_and_skip_and_resume(tmp_path):
+    """Reference error policy (SURVEY section 4 / launch_aether.py:367-384):
+    a failing sequence is appended to the per-rank error log and skipped, the
+    rest of the shard completes; a resume pass skips finished sequences
+    without re-running the pipeline."""
+    from PIL import Image
+
+    from aether_tpu.eval.video_depth import run_sequences
+
+    rng = np.random.default_rng(0)
+    frame_lists = {}
+    for seq in ("seq_a", "seq_c"):
+        d = tmp_path / "frames" / seq
+        d.mkdir(parents=True)
+        paths = []
+        for i in range(4):
+            p = str(d / f"{i:02d}.png")
+            Image.fromarray(
+                rng.uniform(0, 255, (16, 24, 3)).astype(np.uint8)
+            ).save(p)
+            paths.append(p)
+        frame_lists[seq] = paths
+    # seq_b's frames do not exist -> prepare_input raises inside the try
+    frame_lists["seq_b"] = [str(tmp_path / "frames" / "seq_b" / "missing.png")]
+
+    out = str(tmp_path / "out")
+    pipe = _FakePipeline()
+    kwargs = dict(num_inference_steps=1, window_frames=3, temporal_stride=2,
+                  tile=(16, 24), spatial_overlap=(4, 6))
+    done = run_sequences(pipe, ["seq_a", "seq_b", "seq_c"], frame_lists, out,
+                         **kwargs)
+    assert done == ["seq_a", "seq_c"]
+    log = tmp_path / "out" / "_error_log_0.txt"
+    assert log.exists() and "seq_b" in log.read_text()
+    for seq in done:
+        frames = [f for f in os.listdir(os.path.join(out, seq))
+                  if f.startswith("frame_")]
+        assert len(frames) == 4
+
+    # resume: completed sequences are not re-run (pipeline not called again)
+    calls_before = pipe.calls
+    done2 = run_sequences(pipe, ["seq_a", "seq_b", "seq_c"], frame_lists, out,
+                          resume=True, **kwargs)
+    assert done2 == ["seq_a", "seq_c"]
+    assert pipe.calls == calls_before
