@@ -282,6 +282,10 @@ class JobRunner:
             def on_stage(name, event, seconds, _p=prog):
                 if event == "begin":
                     _p["stage"] = name
+                elif event == "progress":
+                    # sub-stage fraction (e.g. one event per jitted denoise
+                    # segment): surface as live detail, not a finished stage
+                    _p["stage"] = f"{name} {int(seconds * 100)}%"
                 else:
                     _p["stage"] = None
                     _p["stages_done"].append(

@@ -848,6 +848,19 @@ def _denoise(
             qk_int8=qk_int8,
         )
         start += n
+        # live sub-stage progress for front-ends: only when someone is
+        # listening (the block_until_ready serializes dispatch with compute,
+        # which costs nothing per ~80 s segment but is pointless headless),
+        # and only when the scan actually split
+        if total > n or start < total:
+            from aether_tpu.utils.profiling import (
+                has_stage_listeners,
+                notify_stage_progress,
+            )
+
+            if has_stage_listeners():
+                jax.block_until_ready(latents)
+                notify_stage_progress("denoise", start / total)
     return latents
 
 

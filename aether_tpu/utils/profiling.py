@@ -39,6 +39,23 @@ def remove_stage_listener(fn) -> None:
         pass
 
 
+def has_stage_listeners() -> bool:
+    """True when a live front-end is observing stages. Long-running loops use
+    this to decide whether paying a host sync for sub-stage progress is worth
+    it (no listeners -> never block, zero overhead)."""
+    return bool(_STAGE_LISTENERS)
+
+
+def notify_stage_progress(name: str, frac: float) -> None:
+    """Emit a fractional progress event inside a running stage.
+
+    Listeners receive ``(name, "progress", frac)`` with frac in (0, 1]. The
+    denoise driver fires one per jitted segment so a 50-step prediction shows
+    live step progress in the web UI (the reference's per-step diffusers
+    progress bar, ``pipeline:824``)."""
+    _notify(name, "progress", frac)
+
+
 def _notify(name: str, event: str, seconds: float) -> None:
     for fn in list(_STAGE_LISTENERS):
         try:

@@ -552,3 +552,37 @@ def test_segmented_denoise_matches_single_scan(tiny_pipeline, rng, monkeypatch):
     np.testing.assert_array_equal(seg.rgb, ref.rgb)
     np.testing.assert_array_equal(seg.disparity, ref.disparity)
     np.testing.assert_array_equal(seg.raymap, ref.raymap)
+
+
+def test_segmented_denoise_emits_progress_events(tiny_pipeline, rng,
+                                                 monkeypatch):
+    """With a stage listener registered, each completed denoise segment emits
+    a ("denoise", "progress", frac) event — the web UI's live step counter.
+    Headless (no listener) the driver never blocks between segments, and an
+    unsegmented run emits no progress events at all."""
+    from aether_tpu.utils.profiling import (
+        add_stage_listener,
+        remove_stage_listener,
+    )
+
+    image = (rng.uniform(0, 1, (64, 96, 3)) * 255).astype(np.uint8)
+    kw = dict(task="prediction", image=image, height=64, width=96,
+              num_frames=17, num_inference_steps=5, fps=12, seed=9)
+    events = []
+
+    def listener(name, event, seconds):
+        if event == "progress":
+            events.append((name, seconds))
+
+    add_stage_listener(listener)
+    try:
+        monkeypatch.setenv("AETHER_DENOISE_SEG", "2")
+        tiny_pipeline(**kw)
+        assert events == [("denoise", 0.4), ("denoise", 0.8),
+                          ("denoise", 1.0)], events
+        events.clear()
+        monkeypatch.delenv("AETHER_DENOISE_SEG", raising=False)
+        tiny_pipeline(**kw)  # CPU default: one segment -> no progress spam
+        assert events == []
+    finally:
+        remove_stage_listener(listener)
