@@ -280,6 +280,11 @@ def main(argv=None) -> None:
     p.add_argument("--temporal_stride", type=int, default=32)
     p.add_argument("--target", type=int, nargs=2, default=(480, 720),
                    metavar=("H", "W"))
+    p.add_argument("--dp", type=int, default=None,
+                   help="Data-parallel mesh axis: windows batch dp-at-a-time "
+                        "through one sharded denoise.")
+    p.add_argument("--tp", type=int, default=None,
+                   help="Tensor-parallel mesh axis within each host.")
     p.add_argument("--resume", action="store_true",
                    help="Skip sequences whose pred_traj.txt already exists.")
     p.add_argument("--distributed", action="store_true",

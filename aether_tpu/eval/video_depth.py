@@ -417,6 +417,13 @@ def main(argv=None) -> None:
                    metavar=("H", "W"))
     p.add_argument("--spatial_overlap", type=int, nargs=2, default=(60, 90),
                    metavar=("H", "W"))
+    p.add_argument("--dp", type=int, default=None,
+                   help="Data-parallel mesh axis: reconstruction windows "
+                        "batch dp-at-a-time through one sharded denoise "
+                        "(batch_calls below follows the mesh's dp size).")
+    p.add_argument("--tp", type=int, default=None,
+                   help="Tensor-parallel mesh axis (Megatron DiT sharding + "
+                        "shard_map'd flash attention) within each host.")
     p.add_argument("--resume", action="store_true",
                    help="Skip sequences whose outputs already exist.")
     p.add_argument("--distributed", action="store_true",

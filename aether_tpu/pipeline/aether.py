@@ -1235,7 +1235,20 @@ class AetherPipeline:
 
         cfg = self.config
         videos = np.asarray(videos)
-        bsz, nf = videos.shape[:2]
+        bsz = orig_bsz = videos.shape[0]
+        if self.mesh is not None:
+            # the batch axis shards P('dp'): pad a short (tail) chunk up to
+            # the next dp multiple by repeating the last window — every window
+            # shares keys + broadcast noise, so duplicates are exact copies
+            # whose outputs are dropped again in _resolve
+            dp = int(self.mesh.shape.get("dp", 1))
+            if dp > 1 and bsz % dp:
+                pad = dp - bsz % dp
+                videos = np.concatenate(
+                    [videos, np.repeat(videos[-1:], pad, axis=0)]
+                )
+                bsz = videos.shape[0]
+        nf = videos.shape[1]
         height = height or videos.shape[2]
         width = width or videos.shape[3]
         num_frames = num_frames or nf
@@ -1357,7 +1370,7 @@ class AetherPipeline:
                     rgb=rgb_np[i].astype(np.float32, copy=False),
                     disparity=disp_np[i], raymap=raymap_np[i],
                 )
-                for i in range(bsz)
+                for i in range(orig_bsz)
             ]
 
         if defer_host:

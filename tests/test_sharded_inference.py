@@ -228,3 +228,30 @@ def test_batch_reconstruct_matches_shapes_and_runs_on_mesh(tiny_setup):
         outs, starts, 64, 96, smooth_camera=False
     )
     assert rgb.shape == (25, 64, 96, 3) and poses.shape == (25, 4, 4)
+
+
+def test_batch_reconstruct_pads_short_chunk_to_dp(tiny_setup):
+    """A tail chunk smaller than dp (here 2 windows on dp=4) must still run:
+    batch_reconstruct pads by repeating the last window (exact copies — keys
+    and noise are shared) and drops the padding on resolve. Outputs match the
+    unsharded batched path."""
+    cfg, dit, vae, text = tiny_setup
+    rng = np.random.default_rng(5)
+    video = (rng.uniform(0, 1, (25, 64, 96, 3)) * 255).astype(np.uint8)
+    windows = np.stack([video[0:17], video[8:25]])
+
+    ref = AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32)
+    outs_ref = ref.batch_reconstruct(windows, height=64, width=96,
+                                     num_frames=17, num_inference_steps=1,
+                                     fps=12, seed=0)
+
+    mesh = make_mesh(dp=4, tp=2)
+    pipe = AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32,
+                          mesh=mesh)
+    outs = pipe.batch_reconstruct(windows, height=64, width=96, num_frames=17,
+                                  num_inference_steps=1, fps=12, seed=0)
+    assert len(outs) == 2
+    for o, r in zip(outs, outs_ref):
+        np.testing.assert_allclose(o.rgb, r.rgb, atol=2e-4)
+        np.testing.assert_allclose(o.disparity, r.disparity, atol=2e-4)
+        np.testing.assert_allclose(o.raymap, r.raymap, atol=2e-4)
