@@ -111,6 +111,14 @@ def build_pipeline(args: argparse.Namespace):
     from aether_tpu.config import PipelineConfig
     from aether_tpu.pipeline import AetherPipeline
 
+    cache_dir = os.environ.get("AETHER_JAX_CACHE")
+    if cache_dir:
+        # persistent XLA compile cache: a restarted server/eval skips the
+        # multi-minute per-(task, steps, shape) compiles (bench.py uses the
+        # same mechanism with .jax_cache)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     on_accel = jax.default_backend() not in ("cpu",)
     dtype = jnp.bfloat16 if on_accel else jnp.float32
     if on_accel:

@@ -464,6 +464,21 @@ def make_handler(runner: JobRunner, raymap_dir: Optional[str]):
                         for f in os.listdir(raymap_dir) if f.endswith(".npy")
                     }
                 self._json(sorted(names))
+            elif self.path == "/api/stats":
+                # ops observability: queue depth, job states, accumulated
+                # per-stage wall-clock (vae_encode / denoise / vae_decode ...)
+                from aether_tpu.utils.profiling import stage_report
+
+                by_status: dict = {}
+                for job in list(runner.jobs.values()):
+                    by_status[job["status"]] = (
+                        by_status.get(job["status"], 0) + 1
+                    )
+                self._json({
+                    "queue_depth": runner.queue.qsize(),
+                    "jobs": by_status,
+                    "stages": stage_report(),
+                })
             elif self.path.startswith("/api/status/"):
                 status = runner.status(self.path.rsplit("/", 1)[-1])
                 if status is None:
@@ -592,6 +607,35 @@ def _fields_to_params(fields: dict, raymap_dir: Optional[str]) -> dict:
     return params
 
 
+def warmup(pipeline, tasks, num_frames: int = 41, height: int = 480,
+           width: int = 720, steps: Optional[int] = None) -> None:
+    """Pre-compile the per-(task, steps, shape) graphs before serving.
+
+    The sampler jits one graph per (task, steps, shape); without warmup the
+    first request of each kind pays a multi-minute XLA compile on TPU. Runs
+    each named task once on zeros at the given shape (steps=None keeps the
+    task defaults: 4 reconstruction / 50 prediction+planning, matching the
+    UI defaults). Combine with AETHER_JAX_CACHE for cross-process reuse."""
+    video = np.zeros((num_frames, height, width, 3), np.uint8)
+    image = np.zeros((height, width, 3), np.uint8)
+    for task in tasks:
+        kw = dict(task=task, height=height, width=width,
+                  num_frames=num_frames, fps=12, seed=0,
+                  num_inference_steps=steps)
+        from aether_tpu.utils.profiling import stage_timer
+
+        with stage_timer(f"warmup/{task}"):
+            if task == "reconstruction":
+                pipeline(video=video, guidance_scale=1.0,
+                         use_dynamic_cfg=False, **kw)
+            elif task == "prediction":
+                pipeline(image=image, **kw)
+            elif task == "planning":
+                pipeline(image=image, goal=image, **kw)
+            else:
+                raise ValueError(f"unknown warmup task {task!r}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Aether-TPU web server")
     p.add_argument("--port", type=int, default=7860)
@@ -608,6 +652,17 @@ def main(argv=None) -> None:
     p.add_argument("--tp", type=int, default=None,
                    help="Tensor-parallel mesh axis (Megatron DiT sharding + "
                         "shard_map'd flash attention).")
+    p.add_argument("--warmup", nargs="*", default=None,
+                   choices=["reconstruction", "prediction", "planning"],
+                   metavar="TASK",
+                   help="Pre-compile these tasks' graphs before listening "
+                        "(first TPU compile is minutes; see also "
+                        "AETHER_JAX_CACHE for a persistent compile cache).")
+    p.add_argument("--warmup_shape", nargs=3, type=int, default=(41, 480, 720),
+                   metavar=("FRAMES", "HEIGHT", "WIDTH"))
+    p.add_argument("--warmup_steps", type=int, default=None,
+                   help="Override denoise steps for warmup (default: task "
+                        "defaults, 4 recon / 50 pred+plan).")
     p.add_argument("--wire_rgb", type=str, default=None,
                    choices=["u8", "yuv420"])
     p.add_argument("--wire_input", type=str, default="u8",
@@ -619,6 +674,11 @@ def main(argv=None) -> None:
     from aether_tpu.apps.demo import build_pipeline
 
     pipeline, _ = build_pipeline(args)
+    if args.warmup:
+        f, h, w = args.warmup_shape
+        print(f"warming up {args.warmup} at {f}f x {h}x{w} ...", flush=True)
+        warmup(pipeline, args.warmup, num_frames=f, height=h, width=w,
+               steps=args.warmup_steps)
     os.makedirs(args.output_dir, exist_ok=True)
     runner = JobRunner(pipeline, args.output_dir)
     server = ThreadingHTTPServer(

@@ -26,7 +26,9 @@ from aether_tpu.pipeline import AetherPipeline
 
 
 @pytest.fixture(scope="module")
-def server(tmp_path_factory):
+def stack(tmp_path_factory):
+    from types import SimpleNamespace
+
     from http.server import ThreadingHTTPServer
 
     from aether_tpu.apps.serve import JobRunner, make_handler
@@ -45,8 +47,14 @@ def server(tmp_path_factory):
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(runner, None))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
-    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield SimpleNamespace(url=f"http://127.0.0.1:{httpd.server_address[1]}",
+                          runner=runner, pipeline=pipe)
     httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server(stack):
+    return stack.url
 
 
 def _get(url):
@@ -228,3 +236,33 @@ def test_queue_rejects_when_full(server):
 
     with pytest.raises(_q.Full):
         runner.submit({"task": "reconstruction"})
+
+
+def test_stats_endpoint_reports_queue_and_stages(server):
+    stats = json.loads(_get(server + "/api/stats"))
+    assert isinstance(stats["queue_depth"], int)
+    assert isinstance(stats["jobs"], dict)
+    assert isinstance(stats["stages"], dict)
+    # earlier tests in this module ran full jobs through this server, so the
+    # pipeline stages must have accumulated wall-clock here
+    if stats["jobs"].get("done"):
+        assert "denoise" in stats["stages"]
+        assert stats["stages"]["denoise"]["count"] >= 1
+
+
+def test_warmup_precompiles_named_tasks(stack):
+    """serve --warmup runs each task once on zeros so the per-(task, steps,
+    shape) jit graphs exist before the first request."""
+    from aether_tpu.apps.serve import warmup
+    from aether_tpu.utils.profiling import stage_report
+
+    warmup(stack.pipeline, ["prediction", "reconstruction"], num_frames=17,
+           height=64, width=96, steps=1)
+    report = stage_report()
+    assert report["warmup/prediction"]["count"] >= 1
+    assert report["warmup/reconstruction"]["count"] >= 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        warmup(stack.pipeline, ["bogus"], num_frames=17, height=64, width=96)
