@@ -402,12 +402,19 @@ class JobRunner:
         return artifacts
 
 
+MAX_UPLOAD_BYTES = 512 * 1024 * 1024  # bound what one POST may allocate
+
+
 def _parse_multipart(handler: BaseHTTPRequestHandler) -> dict:
     """Minimal multipart/form-data parser (fields + file payloads)."""
     import email
     import email.policy
 
     length = int(handler.headers.get("Content-Length", 0))
+    if length > MAX_UPLOAD_BYTES:
+        raise ValueError(
+            f"upload too large ({length} bytes > {MAX_UPLOAD_BYTES})"
+        )
     body = handler.rfile.read(length)
     content_type = handler.headers.get("Content-Type", "")
     msg = email.message_from_bytes(
@@ -516,7 +523,9 @@ def make_handler(runner: JobRunner, raymap_dir: Optional[str]):
                 job_id = runner.submit(params)
                 self._json({"job_id": job_id})
             except queue.Full:
-                self._json({"error": "queue full (max 20)"}, 429)
+                self._json(
+                    {"error": f"queue full (max {runner.queue.maxsize})"}, 429
+                )
             except Exception as exc:
                 self._json({"error": str(exc)}, 400)
 
@@ -646,6 +655,8 @@ def main(argv=None) -> None:
                    choices=["tiny", "aetherv1"])
     p.add_argument("--raymap_dir", type=str, default=None,
                    help="Directory of canned raymap_<name>.npy actions.")
+    p.add_argument("--max_queue", type=int, default=20,
+                   help="Job queue bound (reference demo.queue(max_size=20)).")
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh axis for serving (CFG pair / "
                         "batched windows shard over it).")
@@ -680,7 +691,7 @@ def main(argv=None) -> None:
         warmup(pipeline, args.warmup, num_frames=f, height=h, width=w,
                steps=args.warmup_steps)
     os.makedirs(args.output_dir, exist_ok=True)
-    runner = JobRunner(pipeline, args.output_dir)
+    runner = JobRunner(pipeline, args.output_dir, max_queue=args.max_queue)
     server = ThreadingHTTPServer(
         (args.host, args.port), make_handler(runner, args.raymap_dir)
     )

@@ -266,3 +266,19 @@ def test_warmup_precompiles_named_tasks(stack):
 
     with _pytest.raises(ValueError):
         warmup(stack.pipeline, ["bogus"], num_frames=17, height=64, width=96)
+
+
+def test_oversized_upload_rejected(server, monkeypatch):
+    import urllib.error
+
+    from aether_tpu.apps import serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "MAX_UPLOAD_BYTES", 1000)
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _submit_multipart(
+            server + "/api/submit",
+            {"task": "prediction", "num_frames": "17"},
+            {"image": ("big.png", b"x" * 5000)},
+        )
+    assert err.value.code == 400
+    assert "too large" in json.loads(err.value.read())["error"]
