@@ -111,19 +111,39 @@ def process_video_with_sliding_window(
     # device compute
     from aether_tpu.pipeline.aether import iter_resolved
 
-    dispatches = (
-        (lambda s=t_start: pipeline(
-            task="reconstruction", video=video[s : s + window_frames],
-            height=video.shape[1], width=video.shape[2],
-            num_frames=window_frames, fps=fps,
-            num_inference_steps=num_inference_steps,
-            guidance_scale=1.0, use_dynamic_cfg=False, seed=seed,
-            defer_host=True))
-        for t_start in t_starts
-    )
+    mesh = getattr(pipeline, "mesh", None)
+    dp = int(mesh.shape.get("dp", 1)) if mesh is not None else 1
+    if dp > 1:
+        # dp-batched: chunks of dp windows share one sharded denoise via
+        # batch_reconstruct (bit-identical to the serial loop: broadcast
+        # noise + shared VAE keys; short tail chunks pad internally)
+        chunks = [t_starts[i : i + dp] for i in range(0, len(t_starts), dp)]
+        dispatches = (
+            (lambda ch=chunk: pipeline.batch_reconstruct(
+                np.stack([video[s : s + window_frames] for s in ch]),
+                height=video.shape[1], width=video.shape[2],
+                num_frames=window_frames, fps=fps,
+                num_inference_steps=num_inference_steps, seed=seed,
+                defer_host=True))
+            for chunk in chunks
+        )
+        outs: List = []
+        for res in iter_resolved(dispatches):
+            outs.extend(res)
+    else:
+        dispatches = (
+            (lambda s=t_start: pipeline(
+                task="reconstruction", video=video[s : s + window_frames],
+                height=video.shape[1], width=video.shape[2],
+                num_frames=window_frames, fps=fps,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=1.0, use_dynamic_cfg=False, seed=seed,
+                defer_host=True))
+            for t_start in t_starts
+        )
+        outs = list(iter_resolved(dispatches))
     windows = [
-        _window(out, t_start)
-        for t_start, out in zip(t_starts, iter_resolved(dispatches))
+        _window(out, t_start) for t_start, out in zip(t_starts, outs)
     ]
     return blend_window_outputs(windows)
 

@@ -426,3 +426,35 @@ def test_run_sequences_log_and_skip_and_resume(tmp_path):
                           resume=True, **kwargs)
     assert done2 == ["seq_a", "seq_c"]
     assert pipe.calls == calls_before
+
+
+def test_rel_pose_dp_batched_matches_serial(rng):
+    """With a dp mesh on the pipeline, rel-pose windows chunk through
+    batch_reconstruct; results must equal the serial per-window loop."""
+    from types import SimpleNamespace
+
+    from aether_tpu.eval.rel_pose import process_video_with_sliding_window
+
+    video = rng.uniform(0, 1, size=(30, 32, 48, 3))
+    kw = dict(num_inference_steps=1, window_frames=17, temporal_stride=8)
+    serial = process_video_with_sliding_window(_FakePipeline(), video, **kw)
+
+    class _FakeBatchedPipe(_FakePipeline):
+        mesh = SimpleNamespace(shape={"dp": 2})
+
+        def batch_reconstruct(self, windows, height, width, num_frames,
+                              num_inference_steps, fps, seed,
+                              defer_host=False):
+            outs = [
+                _FakePipeline.__call__(self, task="reconstruction", video=w,
+                                       height=height, width=width,
+                                       num_frames=num_frames)
+                for w in windows
+            ]
+            return SimpleNamespace(resolve=lambda: outs) if defer_host else outs
+
+    pipe = _FakeBatchedPipe()
+    batched = process_video_with_sliding_window(pipe, video, **kw)
+    for key in ("rgb", "disparity", "poses", "focals"):
+        np.testing.assert_allclose(batched[key], serial[key], atol=1e-6,
+                                   err_msg=key)
