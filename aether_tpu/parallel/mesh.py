@@ -117,7 +117,31 @@ def dit_param_sharding(
 
 
 def shard_params(params: Dict[str, Any], specs: Dict[str, Any], mesh: Mesh):
-    """Device-put a parameter pytree with the given PartitionSpec tree."""
-    return jax.tree_util.tree_map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), params, specs
-    )
+    """Device-put a parameter pytree with the given PartitionSpec tree.
+
+    Weight-only-quantized leaves (``{"q": int8/fp8 matrix, "s": per-output-
+    column scales}``, see ``models.dit.quantize_dit_params``) are handled
+    against the unquantized spec tree: ``q`` takes the weight's spec verbatim
+    and ``s`` — indexed by the weight's LAST (output) dimension, plus the
+    stacked layer axis when present — takes ``(spec[0], spec[-1])``. This is
+    what lets the int8/fp8 deployment layout shard over the tp (and fsdp)
+    mesh axes exactly like the bf16 tree."""
+
+    def _is_quant(x) -> bool:
+        return isinstance(x, dict) and set(x.keys()) == {"q", "s"}
+
+    def _put(x, spec):
+        if _is_quant(x):
+            parts = list(spec)
+            if not parts:  # replicated weight -> replicated scales
+                s_spec = P()
+            else:
+                lead = [parts[0]] if x["q"].ndim == 3 else []
+                s_spec = P(*lead, parts[-1])
+            return {
+                "q": jax.device_put(x["q"], NamedSharding(mesh, spec)),
+                "s": jax.device_put(x["s"], NamedSharding(mesh, s_spec)),
+            }
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(_put, params, specs, is_leaf=_is_quant)

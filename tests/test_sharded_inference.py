@@ -255,3 +255,27 @@ def test_batch_reconstruct_pads_short_chunk_to_dp(tiny_setup):
         np.testing.assert_allclose(o.rgb, r.rgb, atol=2e-4)
         np.testing.assert_allclose(o.disparity, r.disparity, atol=2e-4)
         np.testing.assert_allclose(o.raymap, r.raymap, atol=2e-4)
+
+
+def test_quantized_weights_shard_under_mesh(tiny_setup):
+    """The int8 deployment layout ({"q", "s"} leaves) must shard over the tp
+    mesh exactly like the bf16 tree — the <10 s north star is tp=8 ON TOP of
+    int8 weights. Sharded quantized output == unsharded quantized output."""
+    from aether_tpu.models.dit import quantize_dit_params
+
+    cfg, dit, vae, text = tiny_setup
+    qdit = quantize_dit_params(
+        jax.tree_util.tree_map(lambda x: x, dit), dtype=jnp.int8
+    )
+    ref = AetherPipeline(cfg, qdit, vae, text, compute_dtype=jnp.float32)
+    out_ref = _run(ref)
+
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = AetherPipeline(cfg, qdit, vae, text, compute_dtype=jnp.float32,
+                             mesh=mesh)
+    w1 = sharded.dit_params["blocks"]["mlp"]["w1"]
+    assert w1["q"].addressable_shards[0].data.size * 4 == w1["q"].size
+    out_sh = _run(sharded)
+    np.testing.assert_allclose(out_sh.rgb, out_ref.rgb, atol=2e-4)
+    np.testing.assert_allclose(out_sh.disparity, out_ref.disparity, atol=2e-4)
+    np.testing.assert_allclose(out_sh.raymap, out_ref.raymap, atol=2e-4)
