@@ -89,6 +89,22 @@ def main():
                 rope_cos=c, rope_sin=s), args)
         print(f"dit_forward[{impl}]: {ms:.0f} ms", flush=True)
 
+    profile_dir = os.environ.get("AETHER_PROFILE_DIR")
+    if profile_dir:
+        # one traced flash forward for the glue hunt: the ~330 ms/step gap
+        # between (flash - identity) and 42x the bare kernel time
+        # (BASELINE.md DiT step ablation) — open with xprof/tensorboard
+        fn = jax.jit(functools.partial(dit_forward, cfg=cfg,
+                                       attn_impl="flash"))
+        out = fn(params, hidden_states=hidden, encoder_hidden_states=text,
+                 timestep=timestep, rope_cos=cos, rope_sin=sin)
+        out.block_until_ready()
+        with jax.profiler.trace(profile_dir):
+            out = fn(params, hidden_states=hidden, encoder_hidden_states=text,
+                     timestep=timestep, rope_cos=cos, rope_sin=sin)
+            out.block_until_ready()
+        print(f"trace written to {profile_dir}", flush=True)
+
 
 if __name__ == "__main__":
     main()
