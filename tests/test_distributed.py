@@ -36,7 +36,13 @@ def test_single_process_is_noop():
 
 _WORKER = textwrap.dedent("""
     import os, sys
+    # sitecustomize on this image force-injects the axon TPU platform even
+    # over a JAX_PLATFORMS=cpu env (same issue conftest.py handles for the
+    # main process) -- pin via jax.config, which wins as long as no backend
+    # has been initialized yet.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     pid, port = int(sys.argv[1]), sys.argv[2]
     sys.path.insert(0, {repo!r})
     from aether_tpu.parallel.distributed import (
