@@ -552,19 +552,43 @@ def _feather(prev: jnp.ndarray, curr: jnp.ndarray, prev_end: int,
 _FULL_STRIP_STATE: Dict[str, Optional[bool]] = {"ok": None}
 
 
+def _oom_is_survivable() -> bool:
+    """Does this runtime survive an allocation failure with a catchable error?
+
+    Full PJRT runtimes (real TPU/GPU hosts) raise a catchable
+    RESOURCE_EXHAUSTED and expose ``Device.memory_stats()``; the tunneled
+    remote runtime wedges PERMANENTLY on any allocation failure (BASELINE.md)
+    and returns no memory stats (probed 2026-08, ``scripts/
+    probe_decode_memory.py``: ``memory_stats() -> None`` on the axon
+    platform). Stats availability is therefore the discriminator for whether
+    an adaptive try-the-fast-path-catch-OOM strategy is safe at all.
+    """
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return False
+    return bool(stats) and "bytes_limit" in stats
+
+
 def _full_strip_enabled() -> bool:
-    """Opt-in via AETHER_FULL_STRIP_DECODE=1.
+    """Whole-clip strip decode: on / off / auto via AETHER_FULL_STRIP_DECODE.
 
     Whole-clip strips measured ~20% faster than 2-frame chunks (3.06 vs
     3.97 s at 41f x 480p) but their multi-GB workspace can exhaust HBM beside
-    the fp8 DiT. On a healthy runtime the failure is a catchable
-    RESOURCE_EXHAUSTED and we fall back to chunking; the tunneled bench chip
-    however wedges PERMANENTLY on any allocation failure (BASELINE.md), so
-    the adaptive try must stay opt-in rather than default.
+    the fp8 DiT. Default "auto" tries them exactly where the failure mode is
+    a catchable RESOURCE_EXHAUSTED (see :func:`_oom_is_survivable`) and
+    falls back to chunking on the first failure; on runtimes that wedge on
+    allocation failure (the tunneled bench chip) auto stays chunked. "1"
+    forces the try everywhere, "0" forces chunked everywhere.
     """
     import os
 
-    return os.environ.get("AETHER_FULL_STRIP_DECODE", "0") == "1"
+    mode = os.environ.get("AETHER_FULL_STRIP_DECODE", "auto").lower()
+    if mode in ("1", "true", "on"):
+        return True
+    if mode in ("0", "false", "off"):
+        return False
+    return _oom_is_survivable()
 
 
 def _decode_strip_adaptive(
@@ -572,7 +596,7 @@ def _decode_strip_adaptive(
     dtype,
     vae_params: Dict[str, Any],
     latents_16: jnp.ndarray,
-    frame_batch_size: Optional[int],
+    frame_batch_size: Optional[int] = 2,
 ) -> jnp.ndarray:
     """Try the whole-clip strip decode once; fall back to chunked on
     allocation failure and remember the verdict for the process lifetime."""
@@ -1145,7 +1169,7 @@ class AetherPipeline:
             )
 
         # ---- stage 3: chunked VAE decode + output transforms ----
-        decode = _decode_pixels_tiled if tiling else _decode_pixels
+        decode = _decode_pixels_tiled if tiling else _decode_strip_adaptive
         compact = self.compact_transfer
         if compact is None:
             compact = jax.default_backend() != "cpu"
@@ -1325,7 +1349,7 @@ class AetherPipeline:
             )
 
         lat_c = cfg.vae.latent_channels
-        decode = _decode_pixels_tiled if tiling else _decode_pixels
+        decode = _decode_pixels_tiled if tiling else _decode_strip_adaptive
         compact = self.compact_transfer
         if compact is None:
             compact = jax.default_backend() != "cpu"
