@@ -441,6 +441,9 @@ def _main_with_process_retry() -> int:
         return 1
     if degraded_tunnel:
         result["degraded"] = "tunnel unreachable; CPU fallback numbers"
+        # a tiny-config CPU time divided into the 10 s TPU north star is not
+        # a comparable ratio — don't let a dead tunnel read as a perf win
+        result["vs_baseline"] = None
     if result.get("backend") != "cpu":
         time.sleep(90.0)  # back-to-back tunnel clients hang in device init
     pred = _run_child("pred", 1, "pred", timeout_s=3600.0,
