@@ -203,6 +203,24 @@ VIDEO_DEPTH_DATASETS: Dict[str, dict] = {
     },
 }
 
+def _scannet_entry(img_path: str) -> dict:
+    """One ScanNet registry row; the reference keeps five strided copies of
+    the dataset (full / 257 / 129 / 65 / 33 frames per window, see
+    ``evaluation/rel_pose/metadata.py:9-78``), identical except for
+    ``img_path``.  Poses ship as one replica-format ``pose_90.txt`` per
+    sequence, subsampled in lockstep with the ``color_90`` frames."""
+    return {
+        "img_path": img_path,
+        "gt_traj": lambda img_path, anno_path, seq: os.path.join(
+            img_path, seq, "pose_90.txt"
+        ),
+        "dir_path": lambda img_path, seq: os.path.join(img_path, seq, "color_90"),
+        "traj_format": "replica",
+        "seq_list": None,
+        "full_seq": True,
+    }
+
+
 REL_POSE_DATASETS: Dict[str, dict] = {
     "sintel": {
         "img_path": "sintel/training/final",
@@ -212,28 +230,23 @@ REL_POSE_DATASETS: Dict[str, dict] = {
         "seq_list": SINTEL_SEQS,
         "full_seq": True,
     },
+    # reference ``rel_pose/metadata.py:79-92``: 90-frame subsampled TUM dump,
+    # one ``rgb_90`` dir + ``groundtruth_90.txt`` per sequence directory.
     "tum": {
         "img_path": "tum",
         "gt_traj": lambda img_path, anno_path, seq: os.path.join(
-            img_path, f"rgbd_dataset_freiburg1_{seq}", "groundtruth.txt"
+            img_path, seq, "groundtruth_90.txt"
         ),
-        "dir_path": lambda img_path, seq: os.path.join(
-            img_path, f"rgbd_dataset_freiburg1_{seq}", "rgb_50"
-        ),
+        "dir_path": lambda img_path, seq: os.path.join(img_path, seq, "rgb_90"),
         "traj_format": "tum",
-        "seq_list": TUM_SEQS,
-        "full_seq": False,
-    },
-    "scannet": {
-        "img_path": "scannetv2",
-        "gt_traj": lambda img_path, anno_path, seq: os.path.join(
-            img_path, seq, "pose"
-        ),
-        "dir_path": lambda img_path, seq: os.path.join(img_path, seq, "color_90"),
-        "traj_format": "scannet",
         "seq_list": None,
         "full_seq": True,
     },
+    "scannet": _scannet_entry("scannetv2"),
+    "scannet-257": _scannet_entry("scannetv2_3_257"),
+    "scannet-129": _scannet_entry("scannetv2_3_129"),
+    "scannet-65": _scannet_entry("scannetv2_3_65"),
+    "scannet-33": _scannet_entry("scannetv2_3_33"),
 }
 
 

@@ -458,3 +458,54 @@ def test_rel_pose_dp_batched_matches_serial(rng):
     for key in ("rgb", "disparity", "poses", "focals"):
         np.testing.assert_allclose(batched[key], serial[key], atol=1e-6,
                                    err_msg=key)
+
+
+def test_rel_pose_registry_mirrors_reference(tmp_path):
+    """Registry keys and path conventions mirror reference
+    ``evaluation/rel_pose/metadata.py:8-121``: five scannet strided copies
+    (replica-format pose_90.txt), tum rgb_90/groundtruth_90.txt, sintel."""
+    from scipy.spatial.transform import Rotation
+
+    from aether_tpu.eval.datasets import (
+        REL_POSE_DATASETS,
+        list_sequences,
+        load_traj,
+    )
+
+    assert set(REL_POSE_DATASETS) == {
+        "sintel", "tum", "scannet", "scannet-257", "scannet-129",
+        "scannet-65", "scannet-33",
+    }
+    for key in ("scannet", "scannet-257", "scannet-129", "scannet-65",
+                "scannet-33"):
+        assert REL_POSE_DATASETS[key]["traj_format"] == "replica"
+        assert REL_POSE_DATASETS[key]["full_seq"] is True
+
+    # synthetic scannet tree: 2 sequences, replica 16-col pose_90.txt
+    meta = REL_POSE_DATASETS["scannet"]
+    root = tmp_path / meta["img_path"]
+    rng = np.random.default_rng(0)
+    for seq in ("scene0000_00", "scene0001_00"):
+        (root / seq / "color_90").mkdir(parents=True)
+        rows = []
+        for _ in range(5):
+            pose = np.eye(4)
+            pose[:3, :3] = Rotation.random(random_state=rng.integers(1 << 30)
+                                           ).as_matrix()
+            pose[:3, 3] = rng.normal(size=3)
+            rows.append(pose.reshape(-1))
+        np.savetxt(root / seq / "pose_90.txt", np.stack(rows))
+
+    seqs = list_sequences(meta, str(root))
+    assert seqs == ["scene0000_00", "scene0001_00"]
+
+    gt_file = meta["gt_traj"](str(root), "", "scene0000_00")
+    traj, stamps = load_traj(gt_file, meta["traj_format"])
+    assert traj.shape == (5, 7) and stamps.shape == (5,)
+    # unit quaternions out of the replica reader
+    np.testing.assert_allclose(np.linalg.norm(traj[:, 3:], axis=1), 1.0,
+                               atol=1e-9)
+
+    tum = REL_POSE_DATASETS["tum"]
+    assert tum["gt_traj"]("tum", "", "seq").endswith("groundtruth_90.txt")
+    assert tum["dir_path"]("tum", "seq").endswith("rgb_90")
