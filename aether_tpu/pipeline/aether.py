@@ -710,6 +710,56 @@ def _decode_pixels(
     return jnp.concatenate(outs, axis=1)
 
 
+def _batched_decode_enabled() -> bool:
+    """One stacked RGB+disparity decode pass: on by default,
+    AETHER_BATCHED_DECODE=0 restores the two serial passes."""
+    import os
+
+    return os.environ.get("AETHER_BATCHED_DECODE", "1").lower() not in (
+        "0", "false", "off"
+    )
+
+
+def _decode_rgb_and_disparity(
+    config: PipelineConfig,
+    dtype,
+    vae_params: Dict[str, Any],
+    latents: jnp.ndarray,  # (B, F_lat, 56, h, w) scaled
+    tiling: bool,
+    mesh=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode the RGB and disparity 16-ch latent streams in ONE VAE pass.
+
+    The two streams are independent decodes of identical shape, so they ride
+    the VAE's batch axis together: half the per-tile/per-chunk graph
+    dispatches (each costs a tunnel roundtrip via ``block_until_ready``) and
+    one batch-2B conv per stage instead of two batch-B convs on the MXU. The
+    reference decodes them serially (``aetherv1_pipeline_cogvideox.py:
+    931-940``). Under a dp mesh whose axis divides 2B the stacked batch is
+    dp-sharded, so e.g. dp=2 decodes RGB and disparity on different chips.
+    Returns ``(rgb, disparity_raw)``, each (B, F, H, W, 3) in ``dtype``.
+    """
+    lat_c = config.vae.latent_channels
+    decode = _decode_pixels_tiled if tiling else _decode_strip_adaptive
+    rgb_lat = latents[:, :, :lat_c]
+    disp_lat = latents[:, :, lat_c : 2 * lat_c]
+    if not _batched_decode_enabled():
+        return (decode(config, dtype, vae_params, rgb_lat),
+                decode(config, dtype, vae_params, disp_lat))
+    b = latents.shape[0]
+    both = jnp.concatenate([rgb_lat, disp_lat], axis=0)
+    if mesh is not None:
+        dp = int(mesh.shape.get("dp", 1))
+        if dp > 1 and (2 * b) % dp == 0:
+            both = jax.device_put(
+                both,
+                jax.sharding.NamedSharding(mesh,
+                                           jax.sharding.PartitionSpec("dp")),
+            )
+    out = decode(config, dtype, vae_params, both)
+    return out[:b], out[b:]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("config", "attn_impl", "compute_dtype", "task", "do_cfg",
@@ -1169,7 +1219,6 @@ class AetherPipeline:
             )
 
         # ---- stage 3: chunked VAE decode + output transforms ----
-        decode = _decode_pixels_tiled if tiling else _decode_strip_adaptive
         compact = self.compact_transfer
         if compact is None:
             compact = jax.default_backend() != "cpu"
@@ -1179,7 +1228,10 @@ class AetherPipeline:
         decode_stage = stage_timer("vae_decode", log=False)
         decode_stage.__enter__()
         try:
-            rgb = decode(cfgd, dtype, self.vae_params, latents[:, :, :lat_c])
+            # one stacked batch-2 pass for both 16-ch streams (VERDICT r2 #2)
+            rgb, disparity = _decode_rgb_and_disparity(
+                cfgd, dtype, self.vae_params, latents, tiling, mesh=self.mesh
+            )
             packed = _finish_rgb(rgb, rgb_mode)
             rgb_wire = None
             if rgb_mode == "yuv420":
@@ -1190,12 +1242,9 @@ class AetherPipeline:
                 rgb = None
             else:
                 # start the big rgb pull NOW so it rides the link while the
-                # disparity decode computes (D2H is slow enough to hide a decode)
+                # disparity wire-pack computes
                 rgb = _start_pull(packed[0][0])
 
-            disparity = decode(
-                cfgd, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
-            )
             disp_u8 = disp_mode == "u8"
             disparity = _start_pull(_finish_disparity(disparity, disp_mode)[0])
 
@@ -1349,17 +1398,16 @@ class AetherPipeline:
             )
 
         lat_c = cfg.vae.latent_channels
-        decode = _decode_pixels_tiled if tiling else _decode_strip_adaptive
         compact = self.compact_transfer
         if compact is None:
             compact = jax.default_backend() != "cpu"
         rgb_mode, disp_mode = self._wire_modes(compact, height, width)
 
-        # same compact-wire + async-pull overlap as the single-window path:
-        # the rgb pull rides the D2H link while the disparity decode computes
-        # (VERDICT round 1, items 5a/7 — the batched path used to pull every
-        # output synchronously in f32)
-        rgb = decode(cfg, dtype, self.vae_params, latents[:, :, :lat_c])
+        # same compact-wire + async-pull overlap as the single-window path;
+        # rgb+disparity ride ONE stacked decode (2B on the batch/dp axis)
+        rgb, disparity = _decode_rgb_and_disparity(
+            cfg, dtype, self.vae_params, latents, tiling, mesh=self.mesh
+        )
         packed = _finish_rgb(rgb, rgb_mode)
         rgb_wire = None
         if rgb_mode == "yuv420":
@@ -1368,9 +1416,6 @@ class AetherPipeline:
         else:
             rgb = _start_pull(packed[0])
 
-        disparity = decode(
-            cfg, dtype, self.vae_params, latents[:, :, lat_c : 2 * lat_c]
-        )
         disp_u8 = disp_mode == "u8"
         disparity = _start_pull(_finish_disparity(disparity, disp_mode))
         raymap = _start_pull(

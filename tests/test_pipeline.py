@@ -586,3 +586,20 @@ def test_segmented_denoise_emits_progress_events(tiny_pipeline, rng,
         assert events == []
     finally:
         remove_stage_listener(listener)
+
+
+def test_batched_rgb_disparity_decode_matches_serial(tiny_pipeline, rng,
+                                                     monkeypatch):
+    """The stacked batch-2 RGB+disparity decode must reproduce the two
+    serial 16-ch passes. VAE convs are batch-equivariant mathematically, but
+    XLA picks a different reduction order for the batch-2 graph, so agreement
+    is to f32 rounding (~6e-7 observed), not bit-exact."""
+    video = (rng.uniform(0, 1, size=(F, H, W, 3)) * 255).astype(np.uint8)
+    kw = dict(task="reconstruction", video=video, height=H, width=W,
+              num_frames=F, num_inference_steps=2, fps=12, seed=7)
+    batched = tiny_pipeline(**kw)
+    monkeypatch.setenv("AETHER_BATCHED_DECODE", "0")
+    serial = tiny_pipeline(**kw)
+    np.testing.assert_allclose(batched.rgb, serial.rgb, atol=1e-5)
+    np.testing.assert_allclose(batched.disparity, serial.disparity, atol=1e-5)
+    np.testing.assert_array_equal(batched.raymap, serial.raymap)
