@@ -378,6 +378,18 @@ def main(argv=None) -> None:
                         "(ZeRO-3 via GSPMD; requires --dp > 1).")
     p.add_argument("--init_checkpoint", type=str, default=None,
                    help="Converted DiT checkpoint to fine-tune from.")
+    p.add_argument("--latent_dir", type=str, default=None,
+                   help="Directory of precomputed latent .npz files "
+                        "(train.data.precompute_latents); trains on real "
+                        "data with the shuffled native-prefetch loader.")
+    p.add_argument("--text_embeds", type=str, default=None,
+                   help="Optional .npy with a baked (S, D) text embedding "
+                        "broadcast to every real-data batch (default: "
+                        "zeros, matching the empty-prompt conditioning).")
+    p.add_argument("--no_native_prefetch", action="store_true",
+                   help="Read latent files synchronously with np.load "
+                        "instead of the C++ prefetch thread pool.")
+    p.add_argument("--data_seed", type=int, default=0)
     args = p.parse_args(argv)
 
     dit_cfg = DiTConfig.tiny() if args.tiny else DiTConfig.aetherv1()
@@ -418,10 +430,26 @@ def main(argv=None) -> None:
         raise SystemExit("--fsdp needs a (dp>1, tp) mesh (not --pp)")
     trainer = Trainer(dit_cfg, train_cfg, mesh=mesh, init_params=init_params,
                       pp_microbatches=args.pp_microbatches, fsdp=args.fsdp)
-    if not args.synthetic:
-        raise SystemExit("only --synthetic data is available in this build; "
-                         "pass batches to Trainer.fit() for real data")
-    batches = synthetic_batches(dit_cfg, batch_size=args.batch_size)
+    if args.latent_dir:
+        from aether_tpu.train.data import latent_batches
+
+        text = None
+        if args.text_embeds:
+            text = np.load(args.text_embeds).astype(np.float32)
+        # multi-host: each process draws its own shard of the clip list
+        # (eval.sharding.shard_sequences inside latent_batches)
+        batches = latent_batches(
+            args.latent_dir, dit_cfg, batch_size=args.batch_size,
+            seed=args.data_seed, text_embeds=text,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            native_prefetch=not args.no_native_prefetch,
+        )
+    elif args.synthetic:
+        batches = synthetic_batches(dit_cfg, batch_size=args.batch_size)
+    else:
+        raise SystemExit("pass --latent_dir DIR (real precomputed latents) "
+                         "or --synthetic (random smoke data)")
     trainer.fit(batches, steps=args.steps)
 
 
