@@ -231,11 +231,22 @@ def main() -> None:
                                     "pred_steps": pred_steps}}))
         return
 
+    # device_compute_s: warm on-chip work for one window (vae encode + 4-step
+    # denoise + stacked rgb+disparity decode), measured in-run with
+    # block_until_ready fences. This is the tunnel-independent headline —
+    # e2e swings ±50% with D2H link weather (0.7-16 MB/s observed), while
+    # device compute is stable run to run (BASELINE.md), so rounds compare
+    # on this number.
+    have_sub = all(x == x for x in (vae_encode_s, denoise_s, vae_decode_s))
+    device_compute_s = (
+        round(vae_encode_s + denoise_s + vae_decode_s, 3) if have_sub else None
+    )
     result = {
         "metric": "e2e_seconds_per_41f_480p_window",
         "value": round(e2e_s, 3),
         "unit": "s",
         "vs_baseline": round(10.0 / e2e_s, 3),  # north-star: <10 s (BASELINE.md)
+        "device_compute_s": device_compute_s,
         "denoise_steps_per_sec_per_chip": round(steps / denoise_s, 3)
         if denoise_s == denoise_s else None,
         "denoise_s": round(denoise_s, 3) if denoise_s == denoise_s else None,
@@ -322,10 +333,16 @@ def _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
 
     lat_c = cfg.vae.latent_channels
     _decode = _decode_pixels_tiled if on_accel else _decode_pixels
-    frames_out = _decode(cfg, dtype, vae_params, latents[:, :, :lat_c])
+    # measure the SHIPPING decode: rgb + disparity ride one stacked batch-2
+    # pass (pipeline._decode_rgb_and_disparity), so this is the full
+    # per-window decode cost, not half of it
+    both = jnp.concatenate(
+        [latents[:, :, :lat_c], latents[:, :, lat_c : 2 * lat_c]], axis=0
+    )
+    frames_out = _decode(cfg, dtype, vae_params, both)
     _block(frames_out)
     t0 = time.perf_counter()
-    frames_out = _decode(cfg, dtype, vae_params, latents[:, :, :lat_c])
+    frames_out = _decode(cfg, dtype, vae_params, both)
     _block(frames_out)
     vae_decode_s = time.perf_counter() - t0
 
