@@ -320,14 +320,18 @@ def _encode_moments_chunked(
     dtype,
     vae_params: Dict[str, Any],
     video: jnp.ndarray,  # (1, F, H, W, 3) in [-1, 1]
-    frame_batch_size: Optional[int] = 4,
+    frame_batch_size: Optional[int] = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Temporally-chunked moment encode with conv-cache threading.
 
     Returns channels-last (1, F_lat, h, w, C) mean and logvar; 2 compiled
-    chunk shapes. Mirrors the reference's framewise encode with slicing.
-    ``frame_batch_size=None`` encodes the whole clip in one graph (fastest
-    when the workspace fits; no conv-cache outputs pinning buffers).
+    chunk shapes. The 8-frame default IS the reference's numerics: diffusers'
+    framewise encode (``num_sample_frames_batch_size = 8``) computes GroupNorm
+    statistics per 8-frame chunk, so both the chunk pattern (first chunk
+    takes the remainder) and the chunk SIZE are checkpoint semantics — pinned
+    cross-framework by tests/test_pipeline_torch_parity.py.
+    ``frame_batch_size=None`` encodes the whole clip in one graph (faster,
+    but clip-wide norm stats deviate from the checkpoint's framewise mode).
     """
     if frame_batch_size is None:
         return _encode_full(config, dtype, vae_params, video)
@@ -373,9 +377,10 @@ def _encode_pixels(
     vae_params: Dict[str, Any],
     frames: jnp.ndarray,  # (F, H, W, 3) in [-1, 1]
     key: Optional[jax.Array],
-    frame_batch_size: Optional[int] = 4,
+    frame_batch_size: Optional[int] = 8,
 ) -> jnp.ndarray:
-    """Chunked VAE encode -> scaled condition latents (1, F_lat, C, h, w)."""
+    """Chunked VAE encode -> scaled condition latents (1, F_lat, C, h, w);
+    8-frame framewise chunking = the reference's canonical numerics."""
     mean, logvar = _encode_moments_chunked(
         config, dtype, vae_params, frames[None], frame_batch_size
     )
@@ -438,7 +443,7 @@ def _encode_pixels_tiled(
     vae_params: Dict[str, Any],
     frames: jnp.ndarray,  # (F, H, W, 3) in [-1, 1]
     key: Optional[jax.Array],
-    frame_batch_size: Optional[int] = None,
+    frame_batch_size: Optional[int] = 8,
     tile_latent: Tuple[int, int] = (32, 90),
     min_overlap: Tuple[int, int] = (4, 6),
 ) -> jnp.ndarray:
@@ -460,7 +465,7 @@ def _encode_pixels_tiled_batch(
     vae_params: Dict[str, Any],
     video: jnp.ndarray,  # (B, F, H, W, 3) in [-1, 1]
     keys: Optional[list],  # per-window PRNG keys (len B) or None
-    frame_batch_size: Optional[int] = None,
+    frame_batch_size: Optional[int] = 8,
     tile_latent: Tuple[int, int] = (32, 90),
     min_overlap: Tuple[int, int] = (4, 6),
 ) -> jnp.ndarray:
@@ -571,24 +576,22 @@ def _oom_is_survivable() -> bool:
 
 
 def _full_strip_enabled() -> bool:
-    """Whole-clip strip decode: on / off / auto via AETHER_FULL_STRIP_DECODE.
+    """Whole-clip strip decode: opt-in via AETHER_FULL_STRIP_DECODE=1.
 
     Whole-clip strips measured ~20% faster than 2-frame chunks (3.06 vs
-    3.97 s at 41f x 480p) but their multi-GB workspace can exhaust HBM beside
-    the fp8 DiT. Default "auto" tries them exactly where the failure mode is
-    a catchable RESOURCE_EXHAUSTED (see :func:`_oom_is_survivable`) and
-    falls back to chunking on the first failure; on runtimes that wedge on
-    allocation failure (the tunneled bench chip) auto stays chunked. "1"
-    forces the try everywhere, "0" forces chunked everywhere.
+    3.97 s at 41f x 480p) but (a) their multi-GB workspace can exhaust HBM
+    beside the fp8 DiT, and (b) they CHANGE NUMERICS: GroupNorm statistics
+    span the whole clip instead of each 2-latent-frame chunk, while the
+    published checkpoint's canonical numerics are the framewise mode
+    (diffusers ``num_latent_frames_batch_size=2``, per-chunk stats — pinned
+    by the e2e torch goldens). Default is therefore OFF everywhere; "1"
+    trades reference-exact numerics for ~20% decode speed on runtimes where
+    an allocation failure is survivable (see :func:`_oom_is_survivable`).
     """
     import os
 
-    mode = os.environ.get("AETHER_FULL_STRIP_DECODE", "auto").lower()
-    if mode in ("1", "true", "on"):
-        return True
-    if mode in ("0", "false", "off"):
-        return False
-    return _oom_is_survivable()
+    mode = os.environ.get("AETHER_FULL_STRIP_DECODE", "0").lower()
+    return mode in ("1", "true", "on")
 
 
 def _decode_strip_adaptive(
@@ -636,9 +639,10 @@ def _decode_pixels_tiled(
     480p) but their multi-GB workspace OOMs when the remote runtime's
     staging reservations grow, and LARGER chunks balloon the program's
     buffer assignment (the conv-cache outputs pin every stage activation:
-    6-frame chunks assign 26.5 GB). Chunking is bit-exact (tests pin
-    chunk==full); the default trades ~20% for reliability — pass None to
-    chase it.
+    6-frame chunks assign 26.5 GB). 2-latent-frame chunking is also the
+    CHECKPOINT's numerics (diffusers framewise mode: per-chunk GroupNorm
+    stats; conv caches alone are exact, norms are not) — pass None only to
+    trade reference-exact outputs for ~20% decode speed.
     """
     s = config.vae_scale_factor_spatial
     h_lat, w_lat = latents_16.shape[-2:]

@@ -495,8 +495,10 @@ def test_adaptive_full_strip_decode(monkeypatch):
     out = A._decode_strip_adaptive(cfg, jnp.float32, vae, z, 2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(chunked))
 
-    # flag on, healthy runtime: full-strip result (bit-exact == chunked by the
-    # conv-cache equivalence) and the verdict is remembered as True
+    # flag on, healthy runtime: full-strip result (== chunked here ONLY
+    # because f_lat=3 fits one chunk — multi-chunk norm stats differ, which
+    # is why full-strip is an opt-in numerics trade) and the verdict is
+    # remembered as True
     monkeypatch.setenv("AETHER_FULL_STRIP_DECODE", "1")
     monkeypatch.setitem(A._FULL_STRIP_STATE, "ok", None)
     out = A._decode_strip_adaptive(cfg, jnp.float32, vae, z, 2)

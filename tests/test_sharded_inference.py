@@ -306,6 +306,11 @@ def test_cfg_pair_physically_shards_over_dp(tiny_setup, monkeypatch):
     mesh = make_mesh(dp=2, tp=4)
     pipe = AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32,
                           attn_impl="flash_interpret", mesh=mesh)
+    # the recorder only fires at TRACE time: drop any cached compilation of
+    # the identical denoise signature left by earlier tests in this process
+    from aether_tpu.pipeline.aether import _denoise_segment
+
+    _denoise_segment.clear_cache()
     out = _run(pipe)  # prediction => do_cfg=True, batch-2 pair in _denoise
 
     # per-shard view: the CFG pair contributes batch 1 per dp cell and the

@@ -22,7 +22,14 @@ torch.manual_seed(0)
 
 
 class CausalConv3d(nn.Module):
-    """Replicate-first-frame temporal pad + zero spatial pad, exposing ``.conv``."""
+    """Replicate-first-frame temporal pad + zero spatial pad, exposing ``.conv``.
+
+    ``cache``/``name``: optional framewise-mode conv cache (mirrors diffusers'
+    ``conv_cache`` mechanism) — the conv keeps its last k-1 input frames so
+    chunked processing threads temporal context across chunks. Normalization
+    statistics stay per-chunk, which is what makes the chunked ("framewise")
+    mode the checkpoint's canonical numerics, distinct from a full-clip pass.
+    """
 
     def __init__(self, cin, cout, k=3, spatial_stride=1):
         super().__init__()
@@ -30,10 +37,16 @@ class CausalConv3d(nn.Module):
         self.conv = nn.Conv3d(cin, cout, k, stride=(1, spatial_stride,
                                                     spatial_stride))
 
-    def forward(self, x):  # x: (B, C, T, H, W)
+    def forward(self, x, cache=None, name=""):  # x: (B, C, T, H, W)
         if self.k > 1:
-            front = x[:, :, :1].repeat(1, 1, self.k - 1, 1, 1)
+            prev = None if cache is None else cache["in"].get(name)
+            if prev is None:
+                front = x[:, :, :1].repeat(1, 1, self.k - 1, 1, 1)
+            else:
+                front = prev
             x = torch.cat([front, x], dim=2)
+            if cache is not None:
+                cache["out"][name] = x[:, :, -(self.k - 1):].clone()
             pad = self.k // 2
             x = F.pad(x, (pad, pad, pad, pad))  # W then H, zero
         return self.conv(x)
@@ -76,11 +89,11 @@ class ResnetBlock(nn.Module):
         if cin != cout:
             self.conv_shortcut = nn.Conv3d(cin, cout, 1)
 
-    def forward(self, x, zq=None):
+    def forward(self, x, zq=None, cache=None, name=""):
         h = self.norm1(x, zq) if self.spatial else self.norm1(x)
-        h = self.conv1(F.silu(h))
+        h = self.conv1(F.silu(h), cache, name + "/conv1")
         h = self.norm2(h, zq) if self.spatial else self.norm2(h)
-        h = self.conv2(F.silu(h))
+        h = self.conv2(F.silu(h), cache, name + "/conv2")
         if hasattr(self, "conv_shortcut"):
             x = self.conv_shortcut(x)
         return x + h
@@ -192,40 +205,74 @@ class TorchCogVAE(nn.Module):
         self.tcl = tcl
         self.cfg = cfg
 
-    def encode(self, x, collect=None):  # (B, C, T, H, W) -> moments
+    def encode(self, x, collect=None, cache=None):  # (B, C, T, H, W) -> moments
         e = self.encoder
-        x = e.conv_in(x)
+        x = e.conv_in(x, cache, "enc/conv_in")
         for i, block in enumerate(e.down_blocks):
-            for r in block.resnets:
-                x = r(x)
+            for j, r in enumerate(block.resnets):
+                x = r(x, cache=cache, name=f"enc/down{i}/res{j}")
             if hasattr(block, "downsamplers"):
                 x = block.downsamplers[0](x)
             if collect is not None:
                 collect.append(x.detach().clone())
-        for r in e.mid_block.resnets:
-            x = r(x)
+        for j, r in enumerate(e.mid_block.resnets):
+            x = r(x, cache=cache, name=f"enc/mid/res{j}")
         if collect is not None:
             collect.append(x.detach().clone())
-        x = e.conv_out(F.silu(e.norm_out(x)))
+        x = e.conv_out(F.silu(e.norm_out(x)), cache, "enc/conv_out")
         return x
 
-    def decode(self, z, collect=None):
+    def decode(self, z, collect=None, cache=None):
         d = self.decoder
         zq = z
-        x = d.conv_in(z)
-        for r in d.mid_block.resnets:
-            x = r(x, zq)
+        x = d.conv_in(z, cache, "dec/conv_in")
+        for j, r in enumerate(d.mid_block.resnets):
+            x = r(x, zq, cache=cache, name=f"dec/mid/res{j}")
         if collect is not None:
             collect.append(x.detach().clone())
         for i, block in enumerate(d.up_blocks):
-            for r in block.resnets:
-                x = r(x, zq)
+            for j, r in enumerate(block.resnets):
+                x = r(x, zq, cache=cache, name=f"dec/up{i}/res{j}")
             if hasattr(block, "upsamplers"):
                 x = block.upsamplers[0](x)
             if collect is not None:
                 collect.append(x.detach().clone())
-        x = d.conv_out(F.silu(d.norm_out(x, zq)))
+        x = d.conv_out(F.silu(d.norm_out(x, zq)), cache, "dec/conv_out")
         return x
+
+    # -- framewise (chunked) mode: the checkpoint's canonical numerics -------
+    # Mirrors diffusers' frame batching: first chunk takes the remainder
+    # (start = fbs*i + (0 if i == 0 else rem), end = fbs*(i+1) + rem), conv
+    # caches thread temporal context, norm stats stay per-chunk.
+    def _chunk_spans(self, t, fbs):
+        n = max(t // fbs, 1)
+        rem = t % fbs if t > fbs else 0
+        spans, start = [], 0
+        for i in range(n):
+            end = min(fbs + rem if i == 0 else start + fbs, t)
+            spans.append((start, end))
+            start = end
+        return spans
+
+    def encode_chunked(self, x, frame_batch_size=8):
+        """Chunked encode over pixel frames (diffusers
+        ``num_sample_frames_batch_size`` = 8)."""
+        cache = {"in": {}, "out": {}}
+        outs = []
+        for s, e in self._chunk_spans(x.shape[2], frame_batch_size):
+            outs.append(self.encode(x[:, :, s:e], cache=cache))
+            cache = {"in": cache["out"], "out": {}}
+        return torch.cat(outs, dim=2)
+
+    def decode_chunked(self, z, frame_batch_size=2):
+        """Chunked decode over latent frames (diffusers
+        ``num_latent_frames_batch_size`` = 2); each chunk's zq is the chunk."""
+        cache = {"in": {}, "out": {}}
+        outs = []
+        for s, e in self._chunk_spans(z.shape[2], frame_batch_size):
+            outs.append(self.decode(z[:, :, s:e], cache=cache))
+            cache = {"in": cache["out"], "out": {}}
+        return torch.cat(outs, dim=2)
 
 
 @pytest.fixture(scope="module")
