@@ -36,8 +36,9 @@ from aether_tpu.geometry.alignment import (
     poses_to_extrinsics,
 )
 from aether_tpu.geometry.raymap import postprocess_pointmap
-from aether_tpu.geometry.smoothing import interpolate_poses, smooth_trajectory
+from aether_tpu.geometry.smoothing import smooth_trajectory
 from aether_tpu.geometry.transforms import compute_scale
+from aether_tpu.pipeline.windowing import stitch_overlap, stitch_poses
 from aether_tpu.utils.profiling import stage_timer
 
 
@@ -149,20 +150,21 @@ def process_video_with_sliding_window(
 
 
 def blend_window_outputs(windows: List[dict]) -> dict:
-    """Stitch sliding-window outputs (reference ``launch_aether.py:172-250``)."""
+    """Stitch sliding-window outputs (reference ``launch_aether.py:172-250``
+    semantics) on the shared vectorized primitives
+    (:func:`~aether_tpu.pipeline.windowing.stitch_overlap` /
+    :func:`~aether_tpu.pipeline.windowing.stitch_poses`)."""
     final = dict(windows[0])
     for curr in windows[1:]:
         t_start_curr, t_end_curr = curr["range"]
-        t_end_prev = final["range"][1]
-        overlap_t = t_end_prev - t_start_curr
+        overlap_t = final["range"][1] - t_start_curr
 
         scale = compute_scale(
             curr["disparity"][:overlap_t].reshape(1, 1, -1),
             final["disparity"][-overlap_t:].reshape(1, 1, -1),
             np.ones((1, 1, curr["disparity"][:overlap_t].size)),
         )
-        curr = dict(curr)
-        curr["disparity"] = scale * curr["disparity"]
+        curr = dict(curr, disparity=scale * curr["disparity"])
 
         rel_r, rel_t, rel_s = align_camera_extrinsics(
             curr["poses"][:overlap_t], final["poses"][-overlap_t:]
@@ -170,28 +172,9 @@ def blend_window_outputs(windows: List[dict]) -> dict:
         aligned = poses_to_extrinsics(
             apply_transformation(curr["poses"], rel_r, rel_t, rel_s)
         )
-
-        weights = np.linspace(1, 0, overlap_t)
-        blended_poses = np.stack(
-            [
-                interpolate_poses(final["poses"][-overlap_t + i], aligned[i],
-                                  weights[i])
-                for i in range(overlap_t)
-            ]
-        )
-
-        stitch = final["poses"].shape[0] - overlap_t
-        final["poses"] = np.concatenate(
-            [final["poses"][:stitch], blended_poses, aligned[overlap_t:]]
-        )
+        final["poses"] = stitch_poses(final["poses"], aligned, overlap_t)
         for key in ("rgb", "disparity", "focals"):
-            w_shape = [overlap_t] + [1] * (final[key].ndim - 1)
-            weight = weights.reshape(w_shape)
-            blended = (final[key][-overlap_t:] * weight
-                       + curr[key][:overlap_t] * (1 - weight))
-            final[key] = np.concatenate(
-                [final[key][:stitch], blended, curr[key][overlap_t:]]
-            )
+            final[key] = stitch_overlap(final[key], curr[key], overlap_t)
         final["range"] = (final["range"][0], t_end_curr)
 
     final["poses"] = smooth_trajectory(np.asarray(final["poses"]), window_size=5)

@@ -1,11 +1,16 @@
 """Temporal sliding-window scheduling and cross-window blending.
 
-Long videos exceed the model's 41-frame context, so reconstruction runs per-window
-and stitches: disparity is scale-aligned on the overlap (masked least squares) and
-cross-faded; RGB is cross-faded; poses are similarity-aligned (SVD) and SLERP-blended;
-focals are ratio-aligned and lerped; finally everything is unprojected to pointmaps.
-Port of reference ``scripts/demo.py:235-422`` (same algorithm is duplicated at
-``scripts/demo_gradio.py:92-284``).
+Long videos exceed the model's 41-frame context, so reconstruction runs
+per-window and stitches. Blending semantics match the checkpoint's (reference
+``scripts/demo.py:235-422``): disparity is scale-aligned on the overlap
+(masked least squares) and cross-faded; RGB is cross-faded; poses are
+similarity-aligned (SVD) and SLERP-blended; focals are ratio-aligned and
+lerped; finally everything is unprojected to pointmaps. The implementation is
+vectorized host code — one :func:`stitch_overlap` cross-fade per stream, one
+batched quaternion SLERP per overlap, and one vmapped unprojection for the
+whole clip — instead of the reference's per-frame Python loops, and is shared
+with the rel-pose eval driver (:func:`aether_tpu.eval.rel_pose
+.blend_window_outputs`).
 """
 
 from __future__ import annotations
@@ -21,8 +26,28 @@ from aether_tpu.geometry.alignment import (
 )
 from aether_tpu.geometry.raymap import postprocess_pointmap, raymap_to_poses
 from aether_tpu.geometry.rays import get_intrinsics, project
-from aether_tpu.geometry.smoothing import interpolate_poses
+from aether_tpu.geometry.smoothing import interpolate_poses_batch
 from aether_tpu.geometry.transforms import compute_scale
+
+
+def stitch_overlap(prev: np.ndarray, curr: np.ndarray, overlap: int) -> np.ndarray:
+    """Concatenate ``prev`` (frames [0, p)) and ``curr`` (frames
+    [p - overlap, ...)) with a linear cross-fade over the ``overlap`` frames
+    (weight 1 -> 0 on ``prev``). One vector op per stream — works for any
+    trailing shape (disparity (H, W), rgb (H, W, 3), focals ())."""
+    w = np.linspace(1.0, 0.0, overlap).reshape(
+        (overlap,) + (1,) * (prev.ndim - 1)
+    )
+    blended = prev[-overlap:] * w + curr[:overlap] * (1.0 - w)
+    return np.concatenate([prev[:-overlap], blended, curr[overlap:]])
+
+
+def stitch_poses(prev: np.ndarray, curr: np.ndarray, overlap: int) -> np.ndarray:
+    """Pose variant of :func:`stitch_overlap`: batched SLERP + translation
+    lerp on the overlap instead of a linear matrix blend."""
+    weights = np.linspace(1.0, 0.0, overlap)
+    blended = interpolate_poses_batch(prev[-overlap:], curr[:overlap], weights)
+    return np.concatenate([prev[:-overlap], blended, curr[overlap:]])
 
 
 def get_window_starts(
@@ -153,68 +178,46 @@ def blend_and_merge_window_results(
 
     Returns (rgb (T,H,W,3), disparity (T,H,W), poses (T,4,4), pointmaps (T,H,W,3)).
     """
-    merged_rgb: Optional[np.ndarray] = None
-    merged_disparity: Optional[np.ndarray] = None
-    merged_poses: Optional[np.ndarray] = None
-    merged_focals: Optional[np.ndarray] = None
-    merged_pointmaps: Optional[np.ndarray] = None
+    first = window_results[0]
+    merged_rgb = np.asarray(first.rgb, dtype=np.float64)
+    merged_disparity = np.asarray(first.disparity, dtype=np.float64)
+    pd = postprocess_pointmap(
+        np.asarray(first.disparity), np.asarray(first.raymap),
+        vae_downsample_scale=8, ray_o_scale_inv=ray_o_scale_inv,
+        smooth_camera=smooth_camera,
+        smooth_method=smooth_method if smooth_camera else "none",
+    )
+    merged_poses = np.asarray(pd["camera_pose"], dtype=np.float64)
+    merged_focals = np.asarray(
+        (pd["intrinsics"][:, 0, 0] + pd["intrinsics"][:, 1, 1]) / 2,
+        dtype=np.float64,
+    )
+    merged_pointmaps = (np.asarray(pd["pointmap"], dtype=np.float64)
+                        if align_pointmaps else None)
 
-    w1 = window_results[0].disparity
-
-    for idx, (result, t_start) in enumerate(zip(window_results, window_indices)):
+    for idx in range(1, len(window_results)):
+        result, t_start = window_results[idx], window_indices[idx]
         rgb = np.asarray(result.rgb)
         disparity = np.asarray(result.disparity)
         raymap = np.asarray(result.raymap)
-        t_end = t_start + rgb.shape[0]
-
-        if idx == 0:
-            merged_rgb = rgb
-            merged_disparity = disparity
-            pd = postprocess_pointmap(
-                disparity, raymap, vae_downsample_scale=8,
-                ray_o_scale_inv=ray_o_scale_inv,
-                smooth_camera=smooth_camera,
-                smooth_method=smooth_method if smooth_camera else "none",
-            )
-            merged_poses = pd["camera_pose"]
-            merged_focals = (pd["intrinsics"][:, 0, 0] + pd["intrinsics"][:, 1, 1]) / 2
-            if align_pointmaps:
-                merged_pointmaps = pd["pointmap"]
-            continue
-
+        h, w = disparity.shape[1:]
         overlap_t = window_indices[idx - 1] + rgb.shape[0] - t_start
 
         # --- disparity: least-squares scale on the overlap, then cross-fade ---
-        disp_mask = disparity[:overlap_t].reshape(1, -1, w1.shape[-1]) > 0.1
+        disp_mask = disparity[:overlap_t].reshape(1, -1, w) > 0.1
         scale = compute_scale(
-            disparity[:overlap_t].reshape(1, -1, w1.shape[-1]),
-            merged_disparity[-overlap_t:].reshape(1, -1, w1.shape[-1]),
+            disparity[:overlap_t].reshape(1, -1, w),
+            merged_disparity[-overlap_t:].reshape(1, -1, w),
             disp_mask,
         )
-        window_disparity = scale * disparity
-
-        result_disparity = np.ones((t_end, *w1.shape[1:]))
-        result_disparity[:t_start] = merged_disparity[:t_start]
-        result_disparity[t_start + overlap_t :] = window_disparity[overlap_t:]
-        weight = np.linspace(1, 0, overlap_t)[:, None, None]
-        result_disparity[t_start : t_start + overlap_t] = (
-            merged_disparity[t_start : t_start + overlap_t] * weight
-            + window_disparity[:overlap_t] * (1 - weight)
+        merged_disparity = stitch_overlap(
+            merged_disparity, scale * disparity, overlap_t
         )
-        merged_disparity = result_disparity
 
         # --- rgb cross-fade ---
-        result_rgb = np.ones((t_end, *w1.shape[1:], 3))
-        result_rgb[:t_start] = merged_rgb[:t_start]
-        result_rgb[t_start + overlap_t :] = rgb[overlap_t:]
-        weight_rgb = np.linspace(1, 0, overlap_t)[:, None, None, None]
-        result_rgb[t_start : t_start + overlap_t] = (
-            merged_rgb[t_start : t_start + overlap_t] * weight_rgb
-            + rgb[:overlap_t] * (1 - weight_rgb)
-        )
-        merged_rgb = result_rgb
+        merged_rgb = stitch_overlap(merged_rgb, rgb, overlap_t)
 
-        # --- poses: similarity-align on overlap, SLERP in the overlap ---
+        # --- poses: similarity-align on the overlap, SLERP in the overlap ---
         window_poses, window_fov_x, window_fov_y = raymap_to_poses(
             raymap, ray_o_scale_inv=ray_o_scale_inv
         )
@@ -222,75 +225,55 @@ def blend_and_merge_window_results(
         rel_r, rel_t, rel_s = align_camera_extrinsics(
             window_poses[:overlap_t], merged_poses[-overlap_t:]
         )
-        aligned = apply_transformation(window_poses, rel_r, rel_t, rel_s)
-        aligned_window_poses = poses_to_extrinsics(aligned)
-
-        result_poses = np.ones((t_end, 4, 4))
-        result_poses[:t_start] = merged_poses[:t_start]
-        result_poses[t_start + overlap_t :] = aligned_window_poses[overlap_t:]
-        weights = np.linspace(1, 0, overlap_t)
-        for t in range(overlap_t):
-            result_poses[t_start + t] = interpolate_poses(
-                merged_poses[t_start + t], aligned_window_poses[t], weights[t]
-            )
-        merged_poses = result_poses
+        aligned_window_poses = poses_to_extrinsics(
+            apply_transformation(window_poses, rel_r, rel_t, rel_s)
+        )
+        merged_poses = stitch_poses(merged_poses, aligned_window_poses,
+                                    overlap_t)
 
         # --- focals: ratio-align then lerp ---
         window_intrinsics, _ = get_intrinsics(
-            batch_size=window_poses.shape[0],
-            h=disparity.shape[1], w=disparity.shape[2],
+            batch_size=window_poses.shape[0], h=h, w=w,
             fovx=window_fov_x, fovy=window_fov_y,
         )
         window_intrinsics = np.asarray(window_intrinsics)
-        window_focals = (window_intrinsics[:, 0, 0] + window_intrinsics[:, 1, 1]) / 2
+        window_focals = (window_intrinsics[:, 0, 0]
+                         + window_intrinsics[:, 1, 1]) / 2
         fscale = (merged_focals[-overlap_t:] / window_focals[:overlap_t]).mean()
         window_focals = fscale * window_focals
-        result_focals = np.ones((t_end,))
-        result_focals[:t_start] = merged_focals[:t_start]
-        result_focals[t_start + overlap_t :] = window_focals[overlap_t:]
-        weight = np.linspace(1, 0, overlap_t)
-        result_focals[t_start : t_start + overlap_t] = (
-            merged_focals[t_start : t_start + overlap_t] * weight
-            + window_focals[:overlap_t] * (1 - weight)
-        )
-        merged_focals = result_focals
+        merged_focals = stitch_overlap(merged_focals, window_focals, overlap_t)
 
         if align_pointmaps:
             window_pm = postprocess_pointmap(
-                result_disparity[t_start:], raymap, vae_downsample_scale=8,
+                merged_disparity[t_start:], raymap, vae_downsample_scale=8,
                 camera_pose=aligned_window_poses, focal=window_focals,
                 ray_o_scale_inv=ray_o_scale_inv,
                 smooth_camera=smooth_camera,
                 smooth_method=smooth_method if smooth_camera else "none",
             )
-            result_pm = np.ones((t_end, *w1.shape[1:], 3))
-            result_pm[:t_start] = merged_pointmaps[:t_start]
-            result_pm[t_start + overlap_t :] = window_pm["pointmap"][overlap_t:]
-            weight = np.linspace(1, 0, overlap_t)[:, None, None, None]
-            result_pm[t_start : t_start + overlap_t] = (
-                merged_pointmaps[t_start : t_start + overlap_t] * weight
-                + window_pm["pointmap"][:overlap_t] * (1 - weight)
+            merged_pointmaps = stitch_overlap(
+                merged_pointmaps, np.asarray(window_pm["pointmap"]), overlap_t
             )
-            merged_pointmaps = result_pm
 
     if align_pointmaps:
         pointmaps = merged_pointmaps
     else:
-        pointmaps = np.stack(
-            [
-                np.asarray(
-                    project(
-                        1 / np.clip(merged_disparity[i], 1e-8, 1e8),
-                        np.array(
-                            [[merged_focals[i], 0, 0.5 * width],
-                             [0, merged_focals[i], 0.5 * height],
-                             [0, 0, 1]]
-                        ),
-                        merged_poses[i],
-                    )
-                )
-                for i in range(merged_poses.shape[0])
-            ]
+        # one vmapped unprojection for the whole clip (the per-frame loop
+        # used to dominate host blend time on long sequences)
+        import jax
+        import jax.numpy as jnp
+
+        n = merged_poses.shape[0]
+        ks = np.zeros((n, 3, 3), np.float32)
+        ks[:, 0, 0] = merged_focals
+        ks[:, 1, 1] = merged_focals
+        ks[:, 0, 2] = 0.5 * width
+        ks[:, 1, 2] = 0.5 * height
+        ks[:, 2, 2] = 1.0
+        depth = (1.0 / np.clip(merged_disparity, 1e-8, 1e8)).astype(np.float32)
+        pointmaps = np.asarray(
+            jax.vmap(project)(jnp.asarray(depth), jnp.asarray(ks),
+                              jnp.asarray(merged_poses, jnp.float32))
         )
 
     return merged_rgb, merged_disparity, merged_poses, pointmaps

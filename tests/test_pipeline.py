@@ -605,3 +605,91 @@ def test_batched_rgb_disparity_decode_matches_serial(tiny_pipeline, rng,
     np.testing.assert_allclose(batched.rgb, serial.rgb, atol=1e-5)
     np.testing.assert_allclose(batched.disparity, serial.disparity, atol=1e-5)
     np.testing.assert_array_equal(batched.raymap, serial.raymap)
+
+
+def test_blend_rewrite_matches_serial_oracle():
+    """The vectorized blend (stitch_overlap / batched SLERP / vmapped
+    unprojection) must reproduce the original serial per-frame implementation
+    bit-near (oracle fixture captured from the pre-rewrite code, VERDICT r2
+    item 5) — for the demo path (with and without pointmap alignment) AND the
+    rel-pose path on the same windows."""
+    import pathlib
+
+    from aether_tpu.eval.rel_pose import blend_window_outputs
+    from aether_tpu.geometry.raymap import raymap_to_poses
+    from aether_tpu.geometry.rays import get_intrinsics
+
+    fix = pathlib.Path(__file__).parent / "fixtures" / "blend_oracle.npz"
+    if not fix.exists():
+        pytest.skip("blend oracle fixture not generated")
+    g = np.load(fix)
+    starts = [int(s) for s in g["starts"]]
+
+    class Res:
+        pass
+
+    results = []
+    for i in range(len(starts)):
+        r = Res()
+        r.rgb = g[f"in_rgb_{i}"]
+        r.disparity = g[f"in_disp_{i}"]
+        r.raymap = g[f"in_raymap_{i}"]
+        results.append(r)
+    T, H, W = results[0].disparity.shape
+
+    rgb, disp, poses, pms = blend_and_merge_window_results(
+        results, starts, H, W, smooth_camera=False, align_pointmaps=False)
+    np.testing.assert_allclose(rgb, g["rgb"], atol=1e-6)
+    np.testing.assert_allclose(disp, g["disparity"], atol=1e-6)
+    np.testing.assert_allclose(poses, g["poses"], atol=1e-6)
+    np.testing.assert_allclose(pms, g["pointmaps"], atol=1e-4)
+
+    rgb, disp, poses, pms = blend_and_merge_window_results(
+        results, starts, H, W, smooth_camera=False, align_pointmaps=True)
+    np.testing.assert_allclose(rgb, g["pm_rgb"], atol=1e-6)
+    np.testing.assert_allclose(poses, g["pm_poses"], atol=1e-6)
+    np.testing.assert_allclose(pms, g["pm_pointmaps"], atol=1e-4)
+
+    wins = []
+    for s, r in zip(starts, results):
+        p, fx, fy = raymap_to_poses(r.raymap, ray_o_scale_inv=0.1)
+        K, f = get_intrinsics(batch_size=T, h=H, w=W, fovx=fx, fovy=fy)
+        wins.append(dict(range=(s, s + T), rgb=r.rgb, disparity=r.disparity,
+                         poses=np.asarray(p), focals=np.asarray(f)))
+    rp = blend_window_outputs(wins)
+    np.testing.assert_allclose(rp["rgb"], g["rp_rgb"], atol=1e-6)
+    np.testing.assert_allclose(rp["disparity"], g["rp_disparity"], atol=1e-6)
+    np.testing.assert_allclose(rp["poses"], g["rp_poses"], atol=1e-6)
+    np.testing.assert_allclose(rp["focals"], g["rp_focals"], atol=1e-6)
+
+
+def test_interpolate_poses_batch_matches_scalar(rng):
+    """Batched SLERP == per-frame scalar interpolate_poses, including the
+    near-identity lerp branch and degenerate rotations."""
+    from scipy.spatial.transform import Rotation as R
+
+    from aether_tpu.geometry.smoothing import (
+        interpolate_poses,
+        interpolate_poses_batch,
+    )
+
+    n = 16
+    p1 = np.broadcast_to(np.eye(4), (n, 4, 4)).copy()
+    p2 = np.broadcast_to(np.eye(4), (n, 4, 4)).copy()
+    p1[:, :3, :3] = R.random(n, rng=np.random.default_rng(0)).as_matrix()
+    # half the pairs nearly identical (lerp branch), half far apart
+    p2[: n // 2, :3, :3] = R.from_rotvec(
+        R.from_matrix(p1[: n // 2, :3, :3]).as_rotvec() + 1e-5
+    ).as_matrix()
+    p2[n // 2 :, :3, :3] = R.random(
+        n // 2, rng=np.random.default_rng(1)).as_matrix()
+    p1[:, :3, 3] = rng.normal(size=(n, 3))
+    p2[:, :3, 3] = rng.normal(size=(n, 3))
+    p2[-1, :3, :3] = 0.0  # degenerate: projected to identity on both paths
+    w = np.linspace(1, 0, n)
+
+    batched = interpolate_poses_batch(p1, p2, w)
+    for i in range(n):
+        np.testing.assert_allclose(
+            batched[i], interpolate_poses(p1[i], p2[i], w[i]), atol=1e-9,
+            err_msg=f"pair {i}")
