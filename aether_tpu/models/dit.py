@@ -469,6 +469,86 @@ def use_pv_int8_default() -> bool:
     return os.environ.get("AETHER_ATTN_PV8", "0") == "1"
 
 
+def use_fused_qkv_default() -> bool:
+    """Env-gated fused attention prologue (``AETHER_ATTN_FUSED``, see
+    ``ops/attn_prologue.py``): QK-norm + RoPE + per-(head-group, tile) int8
+    quantization + v ones-column packing collapse into one Pallas pass
+    feeding the flash kernel pre-packed operands — the ~0.2 s/step of
+    inter-kernel glue the round-2 bisect measured (BASELINE.md) disappears.
+    ON by default wherever the fixed-max flash kernel runs; disable with
+    AETHER_ATTN_FUSED=0. Same trace-time caveat as
+    :func:`use_fixed_max_default`."""
+    import os
+
+    return os.environ.get("AETHER_ATTN_FUSED", "1") == "1"
+
+
+def _fused_qkv_attention(
+    x: jnp.ndarray,
+    attn_p: Params,
+    rope_cos,
+    rope_sin,
+    cfg,
+    mesh,
+    interpret: bool,
+    a8: bool,
+    qk_int8: bool,
+    s_valid: Optional[int] = None,
+) -> jnp.ndarray:
+    """[B, S, D_model] joint stream -> attention output [B, S, D_model] via
+    the fused prologue path (``ops/attn_prologue.py``).
+
+    Under a ('dp', 'tp') mesh the WHOLE projection->prologue->kernel chain is
+    ``shard_map``'d with the model axis of xq/xk/xv on 'tp': heads are
+    contiguous blocks of the projection output's last axis, so the Megatron
+    column-sharded qkv outputs land on each chip already holding exactly its
+    own heads — the prologue and kernel run shard-local with zero
+    collectives, and the output's 'tp'-sharded last axis feeds the
+    row-sharded o-projection directly (no head-axis relayout at all).
+    """
+    from aether_tpu.ops.attn_prologue import fused_joint_attention
+
+    nh, hd = cfg.num_heads, cfg.head_dim
+    fn = functools.partial(
+        fused_joint_attention,
+        eps=cfg.qk_norm_eps,
+        quantize=qk_int8,
+        interpret=interpret,
+        s_valid=s_valid,
+    )
+
+    has_rope = rope_cos is not None
+
+    def _local(xq, xk, xv, gq, bq, gk, bk, *ropes):
+        nh_loc = xq.shape[-1] // hd
+        rc, rs = ropes if has_rope else (None, None)
+        return fn(xq, xk, xv, gq, bq, gk, bk, rc, rs,
+                  num_heads=nh_loc, head_dim=hd)
+
+    xq = _linear(x, attn_p["q_w"], attn_p["q_b"], a8)
+    xk = _linear(x, attn_p["k_w"], attn_p["k_b"], a8)
+    xv = _linear(x, attn_p["v_w"], attn_p["v_b"], a8)
+    norms = (attn_p["norm_q_scale"], attn_p["norm_q_bias"],
+             attn_p["norm_k_scale"], attn_p["norm_k_bias"])
+    ropes = (rope_cos, rope_sin) if has_rope else ()
+
+    tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+    dp = mesh.shape.get("dp", 1) if mesh is not None else 1
+    head_axis = "tp" if tp > 1 and nh % tp == 0 else None
+    batch_axis = "dp" if dp > 1 and x.shape[0] % dp == 0 else None
+    if head_axis is None and batch_axis is None:
+        return _local(xq, xk, xv, *norms, *ropes)
+
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(batch_axis, None, head_axis)
+    rep = tuple(P(*(None,) * a.ndim) for a in norms + ropes)
+    return jax.shard_map(
+        _local, mesh=mesh, in_specs=(spec, spec, spec) + rep, out_specs=spec,
+        check_vma=False,
+    )(xq, xk, xv, *norms, *ropes)
+
+
 def _sharded_flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh, interpret: bool,
     fixed_max: bool = False, qk_int8: bool = False, pv_int8: bool = False,
@@ -590,12 +670,41 @@ def _attention(
     fixed_max: bool = False,
     qk_int8: bool = False,
     pv_int8: bool = False,
+    fused_qkv: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     text_len = enc.shape[1]
+    nh, hd = cfg.num_heads, cfg.head_dim
+    s = text_len + hidden.shape[1]
+
+    fused_ok = (
+        fused_qkv and fixed_max and not pv_int8
+        and attn_impl in ("flash", "flash_interpret")
+        and hd < 128 and hd % 2 == 0
+        and (mesh is None or mesh.shape.get("sp", 1) <= 1)
+    )
+    if fused_ok:
+        # the token padding to the flash block multiple rides the joint-stream
+        # concat for free (one copy), and the qkv matmuls run over the padded
+        # rows (~2% extra MXU at the 15k window — cheaper than three separate
+        # 92 MB pad passes on the projection outputs)
+        from aether_tpu.ops.attn_prologue import _pick_seq_pad
+
+        s_pad = _pick_seq_pad(s)
+        parts = [enc, hidden]
+        if s_pad != s:
+            parts.append(jnp.zeros(
+                (hidden.shape[0], s_pad - s, hidden.shape[-1]), hidden.dtype))
+        x = jnp.concatenate(parts, axis=1)
+        attn = _fused_qkv_attention(
+            x, attn_p, rope_cos, rope_sin, cfg, mesh,
+            attn_impl == "flash_interpret", a8, qk_int8, s_valid=s,
+        )
+        out = _linear(attn[:, :s], attn_p["o_w"], attn_p["o_b"], a8)
+        return out[:, text_len:], out[:, :text_len]
+
     x = jnp.concatenate([enc, hidden], axis=1)  # text first
     x = _sp_token_constraint(x, mesh)
     b, s, _ = x.shape
-    nh, hd = cfg.num_heads, cfg.head_dim
 
     def qkv(w, bias, norm_scale, norm_bias):
         y = _linear(x, w, bias, a8).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
@@ -698,6 +807,7 @@ def dit_forward(
     fixed_max: Optional[bool] = None,
     qk_int8: Optional[bool] = None,
     pv_int8: Optional[bool] = None,
+    fused_qkv: Optional[bool] = None,
     block_scan=None,
 ) -> jnp.ndarray:
     """Denoiser forward.
@@ -738,6 +848,8 @@ def dit_forward(
         qk_int8 = use_qk_int8_default() and fixed_max
     if pv_int8 is None:
         pv_int8 = use_pv_int8_default() and fixed_max
+    if fused_qkv is None:
+        fused_qkv = use_fused_qkv_default() and fixed_max and not pv_int8
 
     # 1. time embedding: sinusoid(hidden) -> MLP -> [B, time_embed_dim]
     t_emb = timestep_embedding(
@@ -795,7 +907,7 @@ def dit_forward(
         )
         attn_h, attn_e = _attention(
             block_p["attn"], h_n, e_n, rc, rs, cfg, attn_impl, act_quant,
-            mesh, fixed_max, qk_int8, pv_int8
+            mesh, fixed_max, qk_int8, pv_int8, fused_qkv
         )
         hid = hid + (gate * attn_h.astype(jnp.float32)).astype(hid.dtype)
         enc = enc + (e_gate * attn_e.astype(jnp.float32)).astype(enc.dtype)

@@ -154,7 +154,6 @@ def _flash_kernel_fixed_max(
     q_ref,
     k_ref,
     v_ref,
-    o_ref,
     *rest,
     kv_len: int,
     block_k: int,
@@ -205,9 +204,9 @@ def _flash_kernel_fixed_max(
     rescale.
     """
     if unnormalized:
-        l_ref, acc_scratch = rest
+        o_ref, l_ref, acc_scratch = rest
     else:
-        (acc_scratch,) = rest
+        o_ref, acc_scratch = rest
         l_ref = None
     kv_idx = pl.program_id(2)
     del kv_len, block_k  # padding handled via the zeroed ones-column
@@ -808,6 +807,191 @@ def flash_attention(
         interpret=interpret,
     )(qp, kp, vp)
     return _finish(out)
+
+
+def _flash_kernel_prepacked(
+    mmax_ref,
+    qsc_ref,
+    ksc_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    acc_scratch,
+    *,
+    num_kv_blocks: int,
+    dim: int,
+    noshift: bool,
+    qk_int8: bool,
+):
+    """Fixed-max cell over prologue-packed operands (``ops/attn_prologue.py``).
+
+    Identical math to :func:`_flash_kernel_fixed_max`'s normalized path, but
+    the int8 dequantization scale is per-(head-group, token-tile): the
+    prologue quantizes q/k in tiles that coincide with this kernel's grid
+    cells, so the rescale is ``qsc[b, qi] * ksc[b, ki]`` — two SMEM scalar
+    prefetch reads and the same single fused scalar multiply as the
+    group-scale path, at strictly finer quantization granularity.
+    """
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[...]  # (hper, block_q, d) int8 or pre-folded float
+    k = k_ref[...]  # (hper, block_k, d)
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32 if qk_int8 else jnp.float32,
+    )
+    if qk_int8:
+        s = s.astype(jnp.float32) * (
+            qsc_ref[pl.program_id(0), pl.program_id(1)]
+            * ksc_ref[pl.program_id(0), kv_idx])
+
+    if noshift:
+        p = jnp.exp2(s)
+    else:
+        p = jnp.exp2(s - mmax_ref[pl.program_id(0)])
+
+    v = v_ref[...]  # (hper, block_k, 128): [v | ones | 0]
+    acc_scratch[...] += jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        acc = acc_scratch[...]
+        l_final = acc[:, :, dim : dim + 1]
+        l_inv = jnp.where(l_final <= 0.0, 1.0, 1.0 / l_final)
+        o_ref[...] = (acc[:, :, :dim] * l_inv).astype(o_ref.dtype)
+
+
+def flash_attention_prepacked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v_ext: jnp.ndarray,
+    *,
+    qsc: jnp.ndarray,
+    ksc: jnp.ndarray,
+    qn: jnp.ndarray,
+    kn: jnp.ndarray,
+    dim: int,
+    out_dtype,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    heads_per_cell: int = 4,
+    noshift: Optional[bool] = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fixed-max flash attention over operands already packed by
+    ``ops/attn_prologue.py::qkv_prologue`` — no padding, folding, packing or
+    stat reductions here; the prologue kernel produced everything.
+
+    Args:
+        q / k: [B*H, S_pad, D] int8 (per-(group, tile) symmetric
+            quantization) or a float dtype (then q carries the
+            ``sm_scale*log2e`` fold and only the norms are used).
+        qsc / ksc: [G, T] f32 per-(head-group, token-tile) dequantization
+            scales, T tiles of ``block_q`` tokens; qsc includes the fold.
+        qn / kn: [G, T] f32 per-(group, tile) L2-norm maxima (qn folded like
+            qsc) — the softmax shift is the per-group Cauchy-Schwarz bound
+            ``max_T(qn) * max_T(kn)``, exactly the unfused path's bound. The
+            shift must track the true score RANGE within exp2's ~126-doubling
+            underflow margin, so a looser absmax-derived bound (off by up to
+            a factor of D in the exponent domain) is NOT acceptable here.
+        v_ext: [B*H, S_pad, 128] ``[v | 1 | 0]`` MXU-denominator tile with
+            padded rows fully zeroed (that alone excludes them from the
+            softmax numerator AND denominator — no kv mask in the kernel).
+    """
+    bh, s_pad, _ = q.shape
+    kv_pad = k.shape[1]
+    qk_int8 = q.dtype == jnp.int8
+
+    block_q = _pick_block(s_pad, block_q)
+    block_k = _pick_block(kv_pad, block_k)
+    if s_pad % block_q or kv_pad % block_k:
+        raise ValueError(
+            f"prepacked operands must tile exactly: {s_pad} % {block_q}, "
+            f"{kv_pad} % {block_k}")
+    num_q_blocks = s_pad // block_q
+    num_kv_blocks = kv_pad // block_k
+    if qk_int8 and (qsc.shape[-1] != num_q_blocks
+                    or ksc.shape[-1] != num_kv_blocks):
+        raise ValueError(
+            "prologue tile count must match the kernel grid "
+            f"(scales {qsc.shape[-1]}/{ksc.shape[-1]} vs blocks "
+            f"{num_q_blocks}/{num_kv_blocks}) — pass the same block_q to "
+            "qkv_prologue and flash_attention_prepacked")
+
+    hper = max(h for h in range(1, min(heads_per_cell, bh) + 1) if bh % h == 0)
+    if qsc.shape[0] != bh // hper:
+        raise ValueError(
+            f"prologue head-group count {qsc.shape[0]} != kernel's "
+            f"{bh // hper} — pass the same heads_per_cell to both")
+
+    # per-head-group Cauchy-Schwarz score bound (log2 domain; qn already
+    # carries sm_scale*log2e)
+    bounds = jnp.max(qn, axis=-1) * jnp.max(kn, axis=-1)
+
+    out_shape = jax.ShapeDtypeStruct((bh, s_pad, dim), out_dtype)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=_vmem_limit_bytes(
+            block_q, block_k, hper, dim, max(q.dtype.itemsize, 1)
+        ),
+    )
+    cost_estimate = pl.CostEstimate(
+        flops=4 * bh * s_pad * kv_pad * dim,
+        bytes_accessed=(2 * bh * kv_pad * dim + 2 * bh * s_pad * dim)
+        * q.dtype.itemsize,
+        transcendentals=bh * s_pad * kv_pad,
+    )
+
+    def _run(ns: bool):
+        return pl.pallas_call(
+            functools.partial(
+                _flash_kernel_prepacked,
+                num_kv_blocks=num_kv_blocks,
+                dim=dim,
+                noshift=ns,
+                qk_int8=qk_int8,
+            ),
+            out_shape=out_shape,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(bh // hper, num_q_blocks, num_kv_blocks),
+                in_specs=[
+                    pl.BlockSpec((hper, block_q, dim),
+                                 lambda b, qi, ki, *_: (b, qi, 0)),
+                    pl.BlockSpec((hper, block_k, dim),
+                                 lambda b, qi, ki, *_: (b, ki, 0)),
+                    pl.BlockSpec((hper, block_k, 128),
+                                 lambda b, qi, ki, *_: (b, ki, 0)),
+                ],
+                out_specs=pl.BlockSpec((hper, block_q, dim),
+                                       lambda b, qi, ki, *_: (b, qi, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((hper, block_q, 128), jnp.float32),
+                ],
+            ),
+            compiler_params=compiler_params,
+            cost_estimate=cost_estimate,
+            interpret=interpret,
+        )(bounds, qsc, ksc, q, k, v_ext)
+
+    if noshift is None:
+        return jax.lax.cond(
+            jnp.max(bounds) < 96.0, lambda: _run(True), lambda: _run(False)
+        )
+    return _run(noshift)
 
 
 def ring_attention(

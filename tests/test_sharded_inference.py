@@ -303,6 +303,20 @@ def test_cfg_pair_physically_shards_over_dp(tiny_setup, monkeypatch):
         return real_flash(q, k, v, **kw)
 
     monkeypatch.setattr(dit_mod, "flash_attention", recording_flash)
+
+    # the fused-prologue default path enters via fused_joint_attention with
+    # per-shard [B_loc, S, H_loc*D] projections — record the same
+    # (batch, heads) per-shard view from there
+    import aether_tpu.ops.attn_prologue as prologue_mod
+
+    real_fused = prologue_mod.fused_joint_attention
+
+    def recording_fused(xq, xk, xv, *a, num_heads, head_dim, **kw):
+        recorded.append((xq.shape[0], num_heads))
+        return real_fused(xq, xk, xv, *a, num_heads=num_heads,
+                          head_dim=head_dim, **kw)
+
+    monkeypatch.setattr(prologue_mod, "fused_joint_attention", recording_fused)
     mesh = make_mesh(dp=2, tp=4)
     pipe = AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32,
                           attn_impl="flash_interpret", mesh=mesh)
