@@ -483,6 +483,32 @@ def use_fused_qkv_default() -> bool:
     return os.environ.get("AETHER_ATTN_FUSED", "1") == "1"
 
 
+def _qkv_fused_projection(x, attn_p, a8: bool):
+    """q/k/v projections as one wide matmul; returns (xq, xk, xv).
+
+    Supports the plain-array and weight-quantized ({"q", "s"}) leaf layouts;
+    falls back to three matmuls when the leaf kinds are mixed (e.g. a
+    partially-converted tree).
+    """
+    qw, kw, vw = attn_p["q_w"], attn_p["k_w"], attn_p["v_w"]
+    d = qw["s"].shape[-1] if isinstance(qw, dict) else qw.shape[-1]
+    if isinstance(qw, dict) and isinstance(kw, dict) and isinstance(vw, dict) \
+            and qw["q"].dtype == kw["q"].dtype == vw["q"].dtype:
+        w = {"q": jnp.concatenate([qw["q"], kw["q"], vw["q"]], axis=-1),
+             "s": jnp.concatenate([qw["s"], kw["s"], vw["s"]], axis=-1)}
+    elif not (isinstance(qw, dict) or isinstance(kw, dict)
+              or isinstance(vw, dict)):
+        w = jnp.concatenate([qw, kw, vw], axis=-1)
+    else:
+        return (_linear(x, qw, attn_p["q_b"], a8),
+                _linear(x, kw, attn_p["k_b"], a8),
+                _linear(x, vw, attn_p["v_b"], a8))
+    b = jnp.concatenate([attn_p["q_b"], attn_p["k_b"], attn_p["v_b"]],
+                        axis=-1)
+    y = _linear(x, w, b, a8)
+    return y[..., :d], y[..., d:2 * d], y[..., 2 * d:]
+
+
 def _fused_qkv_attention(
     x: jnp.ndarray,
     attn_p: Params,
@@ -525,9 +551,6 @@ def _fused_qkv_attention(
         return fn(xq, xk, xv, gq, bq, gk, bk, rc, rs,
                   num_heads=nh_loc, head_dim=hd)
 
-    xq = _linear(x, attn_p["q_w"], attn_p["q_b"], a8)
-    xk = _linear(x, attn_p["k_w"], attn_p["k_b"], a8)
-    xv = _linear(x, attn_p["v_w"], attn_p["v_b"], a8)
     norms = (attn_p["norm_q_scale"], attn_p["norm_q_bias"],
              attn_p["norm_k_scale"], attn_p["norm_k_bias"])
     ropes = (rope_cos, rope_sin) if has_rope else ()
@@ -537,7 +560,19 @@ def _fused_qkv_attention(
     head_axis = "tp" if tp > 1 and nh % tp == 0 else None
     batch_axis = "dp" if dp > 1 and x.shape[0] % dp == 0 else None
     if head_axis is None and batch_axis is None:
+        # single-chip: run q/k/v as ONE [D, 3D] matmul — the int8 MXU runs
+        # N=9216 at ~226 TF/s vs ~144 at N=3072 (measured,
+        # scripts/bench_w8a8_matmul.py), and the dynamic act quantization of
+        # x happens once instead of three times. The per-layer weight concat
+        # is a ~28 MB int8 copy (~0.04 ms) against a ~2.2 ms matmul saving.
+        # Under tp the three leaves are column-sharded separately, so the
+        # fused column layout would interleave shards — keep them split there.
+        xq, xk, xv = _qkv_fused_projection(x, attn_p, a8)
         return _local(xq, xk, xv, *norms, *ropes)
+
+    xq = _linear(x, attn_p["q_w"], attn_p["q_b"], a8)
+    xk = _linear(x, attn_p["k_w"], attn_p["k_b"], a8)
+    xv = _linear(x, attn_p["v_w"], attn_p["v_b"], a8)
 
     from jax.sharding import PartitionSpec as P
 

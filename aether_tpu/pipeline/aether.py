@@ -760,7 +760,22 @@ def _decode_rgb_and_disparity(
                 jax.sharding.NamedSharding(mesh,
                                            jax.sharding.PartitionSpec("dp")),
             )
-    out = decode(config, dtype, vae_params, both)
+    try:
+        out = decode(config, dtype, vae_params, both)
+    except jax.errors.JaxRuntimeError as exc:
+        # the stacked batch doubles the decode chunk workspace; whether it
+        # fits depends on what else is resident (int8 DiT tree, remote
+        # staging reservations) — on a compile-time HBM OOM fall back to the
+        # reference's serial per-stream decodes (half the workspace, same
+        # numerics) instead of failing the whole pipeline run. Compile
+        # failures allocate nothing on-device, so the client stays healthy.
+        import sys
+
+        print(f"[pipeline] stacked rgb+disparity decode failed "
+              f"({type(exc).__name__}); falling back to serial decodes",
+              file=sys.stderr, flush=True)
+        return (decode(config, dtype, vae_params, rgb_lat),
+                decode(config, dtype, vae_params, disp_lat))
     return out[:b], out[b:]
 
 

@@ -1,0 +1,44 @@
+"""Stacked RGB+disparity decode must fall back to serial per-stream decodes
+when the batch-2 graph cannot compile (HBM OOM on-chip shows up as a
+JaxRuntimeError at dispatch; observed in round-3 bench: the stacked chunk
+workspace is 2x the serial one and whether it fits depends on what else is
+resident). The fallback is the reference's own serial order
+(``aetherv1_pipeline_cogvideox.py:931-940``) — identical numerics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import aether_tpu.pipeline.aether as pipe_mod
+from aether_tpu.config import PipelineConfig
+from aether_tpu.models import init_vae_params
+
+
+def test_stacked_decode_falls_back_to_serial(monkeypatch):
+    cfg = PipelineConfig.tiny()
+    vae_params = init_vae_params(jax.random.PRNGKey(0), cfg.vae)
+    lat = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, 3, 2 * cfg.vae.latent_channels, 8, 12), jnp.float32)
+
+    rgb_ok, disp_ok = pipe_mod._decode_rgb_and_disparity(
+        cfg, jnp.float32, vae_params, lat, tiling=False)
+
+    real = pipe_mod._decode_strip_adaptive
+    calls = []
+
+    def oom_on_batch2(config, dtype, params, latents_16, *a, **kw):
+        calls.append(latents_16.shape[0])
+        if latents_16.shape[0] == 2:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: remote_compile: HTTP 500 (simulated hbm oom)")
+        return real(config, dtype, params, latents_16, *a, **kw)
+
+    monkeypatch.setattr(pipe_mod, "_decode_strip_adaptive", oom_on_batch2)
+    rgb, disp = pipe_mod._decode_rgb_and_disparity(
+        cfg, jnp.float32, vae_params, lat, tiling=False)
+
+    assert calls == [2, 1, 1]  # stacked attempt, then one per stream
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ok), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(disp_ok),
+                               atol=1e-5)
