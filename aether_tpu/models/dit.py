@@ -483,8 +483,17 @@ def use_fused_qkv_default() -> bool:
     return os.environ.get("AETHER_ATTN_FUSED", "1") == "1"
 
 
-def _qkv_fused_projection(x, attn_p, a8: bool):
-    """q/k/v projections as one wide matmul; returns (xq, xk, xv).
+def _qkv_fused_projection(x, attn_p, a8: bool, shards: int = 1):
+    """q/k/v projections as one wide matmul; returns (xq, xk, xv), or the
+    un-split fused activation when ``shards > 1``.
+
+    ``shards``: number of tp shards the output's last axis will be split
+    over. The fused columns are interleaved per shard —
+    ``[q_0 | k_0 | v_0 | q_1 | k_1 | v_1 | ...]`` — so that under a
+    ``P(..., 'tp')`` sharding each chip's contiguous column block is exactly
+    its own (q, k, v) head slices and the split happens shard-locally inside
+    the attention shard_map (no cross-chip relayout). With ``shards == 1``
+    this degenerates to plain [q | k | v] and the split happens here.
 
     Supports the plain-array and weight-quantized ({"q", "s"}) leaf layouts;
     falls back to three matmuls when the leaf kinds are mixed (e.g. a
@@ -492,20 +501,31 @@ def _qkv_fused_projection(x, attn_p, a8: bool):
     """
     qw, kw, vw = attn_p["q_w"], attn_p["k_w"], attn_p["v_w"]
     d = qw["s"].shape[-1] if isinstance(qw, dict) else qw.shape[-1]
+
+    def interleave(q, k, v):
+        # columns -> (shards, d/shards) blocks -> [q_s | k_s | v_s] per shard
+        parts = [a.reshape(*a.shape[:-1], shards, d // shards)
+                 for a in (q, k, v)]
+        return jnp.concatenate(parts, axis=-1).reshape(
+            *q.shape[:-1], 3 * d)
+
     if isinstance(qw, dict) and isinstance(kw, dict) and isinstance(vw, dict) \
             and qw["q"].dtype == kw["q"].dtype == vw["q"].dtype:
-        w = {"q": jnp.concatenate([qw["q"], kw["q"], vw["q"]], axis=-1),
-             "s": jnp.concatenate([qw["s"], kw["s"], vw["s"]], axis=-1)}
+        w = {"q": interleave(qw["q"], kw["q"], vw["q"]),
+             "s": interleave(qw["s"], kw["s"], vw["s"])}
     elif not (isinstance(qw, dict) or isinstance(kw, dict)
               or isinstance(vw, dict)):
-        w = jnp.concatenate([qw, kw, vw], axis=-1)
+        w = interleave(qw, kw, vw)
     else:
+        if shards > 1:
+            return None  # caller falls back to three sharded matmuls
         return (_linear(x, qw, attn_p["q_b"], a8),
                 _linear(x, kw, attn_p["k_b"], a8),
                 _linear(x, vw, attn_p["v_b"], a8))
-    b = jnp.concatenate([attn_p["q_b"], attn_p["k_b"], attn_p["v_b"]],
-                        axis=-1)
+    b = interleave(attn_p["q_b"], attn_p["k_b"], attn_p["v_b"])
     y = _linear(x, w, b, a8)
+    if shards > 1:
+        return y
     return y[..., :d], y[..., d:2 * d], y[..., 2 * d:]
 
 
@@ -565,19 +585,44 @@ def _fused_qkv_attention(
         # scripts/bench_w8a8_matmul.py), and the dynamic act quantization of
         # x happens once instead of three times. The per-layer weight concat
         # is a ~28 MB int8 copy (~0.04 ms) against a ~2.2 ms matmul saving.
-        # Under tp the three leaves are column-sharded separately, so the
-        # fused column layout would interleave shards — keep them split there.
         xq, xk, xv = _qkv_fused_projection(x, attn_p, a8)
         return _local(xq, xk, xv, *norms, *ropes)
-
-    xq = _linear(x, attn_p["q_w"], attn_p["q_b"], a8)
-    xk = _linear(x, attn_p["k_w"], attn_p["k_b"], a8)
-    xv = _linear(x, attn_p["v_w"], attn_p["v_b"], a8)
 
     from jax.sharding import PartitionSpec as P
 
     spec = P(batch_axis, None, head_axis)
     rep = tuple(P(*(None,) * a.ndim) for a in norms + ropes)
+
+    if head_axis is not None:
+        # tp: the same single fused matmul, with the fused columns
+        # INTERLEAVED per shard ([q_0|k_0|v_0|q_1|k_1|v_1|...]) so each
+        # chip's contiguous P(..., 'tp') block is exactly its own q/k/v head
+        # slices — per-shard the matmul is 3x wider than three separate
+        # column shards (the width effect above), and the split back to
+        # q/k/v happens shard-locally inside the shard_map.
+        y = _qkv_fused_projection(x, attn_p, a8, shards=tp)
+        if y is not None:
+            from jax.sharding import NamedSharding
+
+            y = jax.lax.with_sharding_constraint(
+                y, NamedSharding(mesh, spec))
+
+            def _local_fused(y_s, gq, bq, gk, bk, *rps):
+                dt = y_s.shape[-1] // 3
+                return _local(y_s[..., :dt], y_s[..., dt:2 * dt],
+                              y_s[..., 2 * dt:], gq, bq, gk, bk, *rps)
+
+            return jax.shard_map(
+                _local_fused, mesh=mesh, in_specs=(spec,) + rep,
+                out_specs=spec, check_vma=False,
+            )(y, *norms, *ropes)
+        xq = _linear(x, attn_p["q_w"], attn_p["q_b"], a8)
+        xk = _linear(x, attn_p["k_w"], attn_p["k_b"], a8)
+        xv = _linear(x, attn_p["v_w"], attn_p["v_b"], a8)
+    else:
+        # dp-only mesh: the last axis is unsharded, so the plain fused
+        # [D, 3D] matmul applies as-is
+        xq, xk, xv = _qkv_fused_projection(x, attn_p, a8)
     return jax.shard_map(
         _local, mesh=mesh, in_specs=(spec, spec, spec) + rep, out_specs=spec,
         check_vma=False,
