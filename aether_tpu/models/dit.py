@@ -737,6 +737,20 @@ def _sp_token_constraint(x: jnp.ndarray, mesh) -> jnp.ndarray:
     )
 
 
+def _fused_mesh_ok(mesh, nh: int, batch: int) -> bool:
+    """A non-trivial mesh where neither 'tp' (heads divisible) nor 'dp'
+    (batch divisible) qualifies must take the unfused
+    ``_sharded_flash_attention`` path — the fused chain would otherwise run
+    with no ``shard_map`` at all, leaving GSPMD to replicate the full
+    attention per chip with no warning (advisor finding, round 3)."""
+    if mesh is None:
+        return True
+    tp, dp = mesh.shape.get("tp", 1), mesh.shape.get("dp", 1)
+    if tp <= 1 and dp <= 1:
+        return True
+    return (tp > 1 and nh % tp == 0) or (dp > 1 and batch % dp == 0)
+
+
 def _attention(
     attn_p: Params,
     hidden: jnp.ndarray,
@@ -761,15 +775,16 @@ def _attention(
         and attn_impl in ("flash", "flash_interpret")
         and hd < 128 and hd % 2 == 0
         and (mesh is None or mesh.shape.get("sp", 1) <= 1)
+        and _fused_mesh_ok(mesh, nh, hidden.shape[0])
     )
     if fused_ok:
         # the token padding to the flash block multiple rides the joint-stream
         # concat for free (one copy), and the qkv matmuls run over the padded
         # rows (~2% extra MXU at the 15k window — cheaper than three separate
         # 92 MB pad passes on the projection outputs)
-        from aether_tpu.ops.attn_prologue import _pick_seq_pad
+        from aether_tpu.ops.attn_prologue import _pick_pad_and_block
 
-        s_pad = _pick_seq_pad(s)
+        s_pad = _pick_pad_and_block(s, 1024)[0]
         parts = [enc, hidden]
         if s_pad != s:
             parts.append(jnp.zeros(

@@ -174,13 +174,27 @@ def _prologue_kernel(
     stat_out[...] = stat
 
 
-def _pick_seq_pad(s: int) -> int:
-    """Padded token length: flash-kernel-friendly 1024 multiples for long
-    sequences (1024 blocks measured fastest at the 15k window), minimal 128
-    multiples for short ones."""
+def _pick_pad_and_block(s: int, block_q: int) -> Tuple[int, int]:
+    """(s_pad, block) with ``s_pad % block == 0`` guaranteed.
+
+    Base pad: flash-kernel-friendly 1024 multiples for long sequences (1024
+    blocks measured fastest at the 15k window), minimal 128 multiples for
+    short ones. ``_pick_block`` may then prefer a block that does NOT divide
+    the base pad (its <=15%-waste early return keeps the requested size), so
+    the final pad is rounded up to a block multiple — the extra rows are
+    masked by ``s_valid`` like any other padding. Picking the block first and
+    deriving the pad from it (rather than asserting divisibility after the
+    fact) is what keeps mid-size joint sequence lengths (e.g. 1665-1792,
+    2689-2944) from being untileable."""
     if s > 4096:
-        return -(-s // 1024) * 1024
-    return -(-s // 128) * 128
+        base = -(-s // 1024) * 1024
+    else:
+        base = -(-s // 128) * 128
+    from aether_tpu.ops.flash_attention import _pick_block
+
+    block = _pick_block(base, block_q)
+    s_pad = -(-base // block) * block
+    return s_pad, block
 
 
 def qkv_prologue(
@@ -238,15 +252,13 @@ def qkv_prologue(
     if s_valid is None:
         s_valid = s
 
-    s_pad = _pick_seq_pad(s)
     bh = b * nh
     hper = max(h for h in range(1, min(heads_per_cell, bh) + 1) if bh % h == 0)
     # token tile = one flash q/k block, so the quantization group of every
     # flash grid cell is constant and its dequant scale is one SMEM scalar
-    from aether_tpu.ops.flash_attention import _pick_block
-
-    block = _pick_block(s_pad, block_q)
-    assert s_pad % block == 0, (s_pad, block)
+    s_pad, block = _pick_pad_and_block(s, block_q)
+    if s_pad % block:  # unreachable by construction; survives python -O
+        raise ValueError(f"prologue pad {s_pad} not tileable by {block}")
     n_tiles = s_pad // block
     groups = bh // hper
     has_rope = rope_cos is not None

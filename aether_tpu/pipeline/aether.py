@@ -724,6 +724,15 @@ def _batched_decode_enabled() -> bool:
     )
 
 
+def _is_oom_error(exc: BaseException) -> bool:
+    """True when a JaxRuntimeError is HBM-exhaustion shaped (compile-time
+    RESOURCE_EXHAUSTED or an allocator out-of-memory), the only failures the
+    stacked-decode serial fallback can actually cure."""
+    msg = str(exc).lower()
+    return ("resource_exhausted" in msg or "out of memory" in msg
+            or "hbm" in msg or "oom" in msg)
+
+
 def _decode_rgb_and_disparity(
     config: PipelineConfig,
     dtype,
@@ -769,6 +778,11 @@ def _decode_rgb_and_disparity(
         # reference's serial per-stream decodes (half the workspace, same
         # numerics) instead of failing the whole pipeline run. Compile
         # failures allocate nothing on-device, so the client stays healthy.
+        # Only OOM-shaped failures qualify: anything else (kernel bug,
+        # wedged runtime) would re-raise identically from the serial decodes
+        # and the fallback would just bury the root cause.
+        if not _is_oom_error(exc):
+            raise
         import sys
 
         print(f"[pipeline] stacked rgb+disparity decode failed "

@@ -351,7 +351,11 @@ def _sub_metrics_body(cfg, dtype, on_accel, pipe, dit_params, vae_params,
         frames_out = _decode(cfg, dtype, vae_params, both)
         _block(frames_out)
         vae_decode_s = time.perf_counter() - t0
-    except jax.errors.JaxRuntimeError:
+    except jax.errors.JaxRuntimeError as exc:
+        from aether_tpu.pipeline.aether import _is_oom_error
+
+        if not _is_oom_error(exc):
+            raise
         print("decode sub-metric: stacked batch-2 pass does not fit; "
               "timing the serial fallback", file=sys.stderr, flush=True)
         for lat in (rgb_lat, disp_lat):

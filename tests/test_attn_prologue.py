@@ -208,3 +208,49 @@ def test_dit_forward_fused_matches_unfused():
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(xla), atol=2e-4)
+
+
+def test_pick_pad_and_block_always_tiles():
+    """Round-3 advisor finding: `_pick_block`'s <=15%-waste early return can
+    keep the requested 1024 block on a pad it does not divide (e.g. joint
+    lengths 1665-1792 -> pad 1792), which used to trip the trace-time
+    divisibility assert on the DEFAULT fused path. The pad must now be
+    derived FROM the block."""
+    from aether_tpu.ops.attn_prologue import _pick_pad_and_block
+
+    for s in list(range(1, 4200)) + list(range(4200, 20000, 7)):
+        for req in (1024, 768, 512):
+            s_pad, block = _pick_pad_and_block(s, req)
+            assert s_pad >= s
+            assert s_pad % block == 0, (s, req, s_pad, block)
+            assert block % 128 == 0 and 128 <= block <= max(req, 128)
+
+
+def test_fused_attention_previously_untileable_length():
+    """s=852 -> joint pad 896; _pick_block(896, 1024) returns 896 (single
+    tile) — fine — but s=1700 -> pad 1792 vs block 1024 was the crash class.
+    Run the real fused path (interpret) at such a length end to end."""
+    s = 1700
+    nh, hd = 2, 64
+    rng = np.random.default_rng(11)
+    d = nh * hd
+    xq, xk, xv = (
+        jnp.asarray(rng.standard_normal((1, s, d)), jnp.float32)
+        for _ in range(3)
+    )
+    g = jnp.ones((hd,), jnp.float32)
+    b = jnp.zeros((hd,), jnp.float32)
+    out = fused_joint_attention(
+        xq, xk, xv, g, b, g, b, None, None, num_heads=nh, head_dim=hd,
+        eps=EPS, quantize=False, interpret=True,
+    )
+    assert out.shape == (1, s, d)
+    ref = attention_reference(
+        *(x.reshape(1, s, nh, hd).transpose(0, 2, 1, 3) for x in
+          (layer_norm(xq.reshape(1, s, nh, hd).transpose(0, 2, 1, 3), g, b, EPS)
+           .transpose(0, 2, 1, 3).reshape(1, s, d),
+           layer_norm(xk.reshape(1, s, nh, hd).transpose(0, 2, 1, 3), g, b, EPS)
+           .transpose(0, 2, 1, 3).reshape(1, s, d),
+           xv)))
+    ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(1, s, d))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)

@@ -42,3 +42,26 @@ def test_stacked_decode_falls_back_to_serial(monkeypatch):
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ok), atol=1e-5)
     np.testing.assert_allclose(np.asarray(disp), np.asarray(disp_ok),
                                atol=1e-5)
+
+
+def test_stacked_decode_reraises_non_oom(monkeypatch):
+    """Only HBM-exhaustion-shaped failures may trigger the serial fallback;
+    a genuine kernel/runtime bug would fail identically in the serial
+    decodes and the fallback would just bury the root cause (advisor
+    finding, round 3)."""
+    import pytest
+
+    cfg = PipelineConfig.tiny()
+    vae_params = init_vae_params(jax.random.PRNGKey(0), cfg.vae)
+    lat = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, 3, 2 * cfg.vae.latent_channels, 8, 12), jnp.float32)
+
+    def broken(config, dtype, params, latents_16, *a, **kw):
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: Mosaic failed to compile (simulated kernel bug)")
+
+    monkeypatch.setattr(pipe_mod, "_decode_strip_adaptive", broken)
+    with pytest.raises(jax.errors.JaxRuntimeError, match="Mosaic"):
+        pipe_mod._decode_rgb_and_disparity(
+            cfg, jnp.float32, vae_params, lat, tiling=False)

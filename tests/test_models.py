@@ -446,3 +446,21 @@ def test_attn_env_defaults(monkeypatch):
     assert use_pv_int8_default() is False
     monkeypatch.setenv("AETHER_ATTN_QK8", "0")
     assert use_qk_int8_default() is False
+
+
+def test_fused_mesh_ok_gate():
+    """A non-trivial mesh that neither 'tp' (head-divisible) nor 'dp'
+    (batch-divisible) can shard must disqualify the fused prologue path so
+    _attention takes the unfused _sharded_flash_attention branch instead of
+    running the whole chain GSPMD-replicated (advisor finding, round 3)."""
+    from jax.sharding import Mesh
+    from aether_tpu.models.dit import _fused_mesh_ok
+
+    devs = np.array(jax.devices()[:6]).reshape(2, 3)
+    mesh = Mesh(devs, ("dp", "tp"))
+    assert _fused_mesh_ok(None, 48, 1)
+    assert not _fused_mesh_ok(mesh, 4, 1)      # 4 % 3 != 0, 1 % 2 != 0
+    assert _fused_mesh_ok(mesh, 6, 1)          # heads divide tp
+    assert _fused_mesh_ok(mesh, 4, 2)          # batch divides dp
+    triv = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
+    assert _fused_mesh_ok(triv, 5, 1)          # trivial mesh: single-chip ok
