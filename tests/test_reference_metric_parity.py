@@ -190,3 +190,71 @@ def test_rpe_known_rotation_and_translation():
                 correct_scale=False)
     assert rot_deg == pytest.approx(2.0, rel=1e-6)
     assert trans == pytest.approx(extra, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# evo ATE/RPE convention goldens (VERDICT r3 missing #2): values derived from
+# an independent transcription of evo's documented algorithm
+# (scripts/make_pose_metric_goldens.py; reference evo_utils.py:162-246).
+# A convention swap in eval/pose_metrics.py — align order, scale handling,
+# degrees vs radians, mean vs RMSE, E-matrix orientation — fails these.
+# ---------------------------------------------------------------------------
+
+
+def _pose_goldens():
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "pose_metric_goldens.npz")
+    return np.load(path)
+
+
+@pytest.mark.parametrize("name", ["similarity", "noisy", "scale_trap"])
+def test_pose_metrics_match_evo_convention_goldens(name, tmp_path):
+    import numpy as np
+
+    from aether_tpu.eval.pose_metrics import eval_metrics, poses_to_traj
+
+    g = _pose_goldens()
+    est, ref = g[f"{name}_est"], g[f"{name}_ref"]
+    want_ate, want_rpe_t, want_rpe_r = g[f"{name}_metrics"]
+
+    ate, rpe_t, rpe_r = eval_metrics(
+        poses_to_traj(est), poses_to_traj(ref), seq=name,
+        filename=str(tmp_path / "eval_metric.txt"))
+    np.testing.assert_allclose(ate, want_ate, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(rpe_t, want_rpe_t, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(rpe_r, want_rpe_r, rtol=1e-8, atol=1e-10)
+
+
+def test_pose_metric_goldens_are_convention_sensitive():
+    """The fixtures must actually discriminate the trap conventions:
+    radians-vs-degrees (57x), scale-correction-off (scale_trap blows up),
+    and unaligned RPE (similarity case stops being ~0)."""
+    import numpy as np
+
+    from aether_tpu.eval import pose_metrics as pm
+
+    g = _pose_goldens()
+
+    # degrees: the noisy RPE-rot golden is ~7.6 — in radians it would be 0.13
+    assert g["noisy_metrics"][2] > 1.0
+
+    # scale correction: scale_trap est is 0.05x — without correct_scale the
+    # ATE is path-scale (>1), with it it's the injected noise (<0.1)
+    est, ref = g["scale_trap_est"], g["scale_trap_ref"]
+    ate_noscale = pm.ate_rmse(pm.poses_to_traj(est), pm.poses_to_traj(ref),
+                              correct_scale=False)
+    assert g["scale_trap_metrics"][0] < 0.1 < 1.0 < ate_noscale
+
+    # alignment feeds RPE too (evo aligns before pair enumeration): the
+    # similarity case is exactly 0 only because the est trajectory is
+    # aligned first — raw relative translations differ by the 2.3x scale
+    est_s, ref_s = g["similarity_est"], g["similarity_ref"]
+    rel_est = np.linalg.inv(est_s[0]) @ est_s[1]
+    rel_ref = np.linalg.inv(ref_s[0]) @ ref_s[1]
+    e_unaligned = np.linalg.inv(rel_ref) @ rel_est
+    assert np.linalg.norm(e_unaligned[:3, 3]) > 0.1
+    assert g["similarity_metrics"][1] < 1e-12
