@@ -737,6 +737,32 @@ def _sp_token_constraint(x: jnp.ndarray, mesh) -> jnp.ndarray:
     )
 
 
+def _sp_concat_tokens(enc: jnp.ndarray, hid: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Concatenate the text and video streams along tokens under an sp mesh
+    without involuntary SPMD rematerialization.
+
+    The operands arrive hidden-dim-sharded from the tp projections; the two
+    token stripes also misalign (text_len is not a multiple of the sp shard),
+    so GSPMD cannot produce the token-striped concat directly and falls back
+    to "Involuntary full rematerialization" (spmd_partitioner.cc:652) — an
+    unchosen all-gather inside the block scan, 42x per model call. Make that
+    gather EXPLICIT instead: pin each operand to P(batch, None, None)
+    (tokens/hidden replicated over sp — the all-gather happens once, here,
+    where we chose it), concatenate (now free), then stripe tokens over 'sp'
+    so every projection downstream computes only its stripe. No-op without
+    an sp axis."""
+    if mesh is None or mesh.shape.get("sp", 1) <= 1:
+        return jnp.concatenate([enc, hid], axis=1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape.get("dp", 1)
+    batch_axis = "dp" if dp > 1 and enc.shape[0] % dp == 0 else None
+    rep = NamedSharding(mesh, P(batch_axis, None, None))
+    enc = jax.lax.with_sharding_constraint(enc, rep)
+    hid = jax.lax.with_sharding_constraint(hid, rep)
+    return _sp_token_constraint(jnp.concatenate([enc, hid], axis=1), mesh)
+
+
 def _fused_mesh_ok(mesh, nh: int, batch: int) -> bool:
     """A non-trivial mesh where neither 'tp' (heads divisible) nor 'dp'
     (batch divisible) qualifies must take the unfused
@@ -797,8 +823,7 @@ def _attention(
         out = _linear(attn[:, :s], attn_p["o_w"], attn_p["o_b"], a8)
         return out[:, text_len:], out[:, :text_len]
 
-    x = jnp.concatenate([enc, hidden], axis=1)  # text first
-    x = _sp_token_constraint(x, mesh)
+    x = _sp_concat_tokens(enc, hidden, mesh)  # text first
     b, s, _ = x.shape
 
     def qkv(w, bias, norm_scale, norm_bias):
@@ -987,6 +1012,17 @@ def dit_forward(
         rs = jnp.concatenate(
             [jnp.zeros((text_len, rope_sin.shape[-1]), jnp.float32),
              jnp.asarray(rope_sin, jnp.float32)], axis=0)
+        if mesh is not None and mesh.shape.get("sp", 1) > 1:
+            # Under an sp mesh, Shardy back-propagates a head_dim-sharded
+            # placement onto this concat from the rotate-half arithmetic and
+            # SPMD falls into "involuntary full rematerialization" per step.
+            # The tables are a few MB — pin them replicated explicitly; the
+            # per-block rope application re-shards its token stripe locally.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            rc = jax.lax.with_sharding_constraint(rc, rep)
+            rs = jax.lax.with_sharding_constraint(rs, rep)
     else:
         rc = rs = None
 
@@ -1010,7 +1046,7 @@ def dit_forward(
         h_n, e_n, gate, e_gate = _ada_modulate(
             hid, enc, temb, block_p["norm2"], cfg.norm_eps
         )
-        joint = _sp_token_constraint(jnp.concatenate([e_n, h_n], axis=1), mesh)
+        joint = _sp_concat_tokens(e_n, h_n, mesh)
         m = block_p["mlp"]
         ff = _linear(joint, m["w1"], m["b1"], act_quant)
         ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=True).astype(ff.dtype)

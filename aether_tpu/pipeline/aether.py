@@ -832,6 +832,30 @@ def _denoise_segment(
     b = condition_latents.shape[0]
     noise_b = 1 if broadcast_noise else b
 
+    def _pin_lat(x):
+        """Explicitly pin a 5-D latent tensor's sharding under an 'sp' mesh.
+
+        Under sequence parallelism the DiT's token-axis constraints
+        (``_sp_token_constraint``) back-propagate through unpatchify onto the
+        scan carry, and GSPMD cannot reconcile that token-derived sharding
+        with the latent-packing concatenates below — it falls back to
+        "Involuntary full rematerialization ... SPMD will replicate"
+        (spmd_partitioner.cc:652), an unchosen all-gather buried per step.
+        The latents are small (tens of MB at full size) relative to the
+        activations sp actually shards, so the CORRECT placement is an
+        explicit one: batch over 'dp' when divisible, replicated over 'sp'.
+        Token stripes then start cleanly at the patchify constraint inside
+        ``dit_forward``. No-op without an sp axis."""
+        if mesh is None or mesh.shape.get("sp", 1) <= 1:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape.get("dp", 1)
+        batch_axis = "dp" if dp > 1 and x.shape[0] % dp == 0 else None
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(batch_axis, None, None, None, None))
+        )
+
     # CFG uncond masking (pipeline:839-855)
     if do_cfg:
         uncond = condition_latents
@@ -839,7 +863,8 @@ def _denoise_segment(
             uncond = uncond.at[:, :, :lat_c].set(0.0)
         elif task == "prediction":
             uncond = uncond.at[:, :1, :lat_c].set(0.0)
-        latent_condition = jnp.concatenate([uncond, condition_latents], axis=0)
+        latent_condition = _pin_lat(
+            jnp.concatenate([uncond, condition_latents], axis=0))
         text = jnp.broadcast_to(
             empty_prompt_embeds, (2 * b, *empty_prompt_embeds.shape[-2:])
         )
@@ -852,14 +877,14 @@ def _denoise_segment(
     def body(carry, i):
         lat, old_x0 = carry
         model_in = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
-        model_in = jnp.concatenate([model_in, latent_condition], axis=2)
+        model_in = _pin_lat(jnp.concatenate([model_in, latent_condition], axis=2))
         t = plan.timesteps[i]
         t_batch = jnp.broadcast_to(t, (model_in.shape[0],))
-        noise_pred = dit_forward(
+        noise_pred = _pin_lat(dit_forward(
             dit_params, cfg.dit, model_in, text, t_batch,
             rope_cos, rope_sin, attn_impl=attn_impl, act_quant=act_quant,
             mesh=mesh, fixed_max=fixed_max, qk_int8=qk_int8,
-        ).astype(jnp.float32)
+        ).astype(jnp.float32))
         if do_cfg:
             uncond_pred, cond_pred = jnp.split(noise_pred, 2, axis=0)
             noise_pred = uncond_pred + guidance[i] * (cond_pred - uncond_pred)

@@ -48,6 +48,13 @@ def main() -> None:
         _encode_pixels_tiled,
     )
 
+    # record the persistent-cache population BEFORE this run compiles into it
+    # (distinguishes warm-cache starts from cold in the reported JSON)
+    try:
+        _cache_entries = len(os.listdir(_CACHE_DIR))
+    except OSError:
+        _cache_entries = 0
+
     backend = jax.default_backend()
     on_accel = backend not in ("cpu",)
     dtype = jnp.bfloat16 if on_accel else jnp.float32
@@ -244,6 +251,20 @@ def main() -> None:
     device_compute_s = (
         round(vae_encode_s + denoise_s + vae_decode_s, 3) if have_sub else None
     )
+
+    # MFU: analytic model FLOPs (matmuls/convs only, dtype-independent) over
+    # the chip's bf16 peak — "is this fast?" stated directly (VERDICT r3 #2).
+    from aether_tpu.utils.flops import bf16_peak_tflops, window_model_tflops
+
+    denoise_tf, decode_tf = window_model_tflops(
+        cfg, height, width, num_frames, steps)
+    peak = bf16_peak_tflops(jax.devices()[0].device_kind) if on_accel else None
+    denoise_tfps = (round(denoise_tf / denoise_s, 1)
+                    if denoise_s == denoise_s else None)
+    decode_tfps = (round(decode_tf / vae_decode_s, 1)
+                   if vae_decode_s == vae_decode_s else None)
+    mfu = (round(denoise_tf / denoise_s / peak, 3)
+           if peak and denoise_s == denoise_s else None)
     result = {
         "metric": "e2e_seconds_per_41f_480p_window",
         "value": round(e2e_s, 3),
@@ -259,7 +280,17 @@ def main() -> None:
         if vae_decode_s == vae_decode_s else None,
         "vae_decode_fps": round(num_frames / vae_decode_s, 2)
         if vae_decode_s == vae_decode_s else None,
+        "model_tflops_denoise": round(denoise_tf, 1),
+        "model_tflops_decode": round(decode_tf, 1),
+        "denoise_tflops_per_s": denoise_tfps,
+        "vae_decode_tflops_per_s": decode_tfps,
+        "mfu": mfu,  # denoise model-TFLOP rate / chip bf16 peak
         "compile_plus_first_run_s": round(compile_and_first_run_s, 1),
+        # first-run overhead beyond a steady-state e2e run = compile/cache
+        # deserialization cost; small when .jax_cache is warm (VERDICT r3 #7)
+        "compile_overhead_s": round(compile_and_first_run_s - e2e_s, 1)
+        if e2e_s == e2e_s else None,
+        "compile_cache_entries": _cache_entries,
         "e2e_runs_s": e2e_times,  # D2H throughput on this link swings 20x
         "pred_e2e_s": pred_e2e_s,
         "pred_steps": pred_steps if pred_e2e_s is not None else None,

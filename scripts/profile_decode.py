@@ -56,25 +56,30 @@ def main():
                                  dtype=jnp.bfloat16)
     for leaf in jax.tree.leaves(vae_params):
         leaf.block_until_ready()
-    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 11, 16, 60, 90),
+    # the SHIPPING decode path: stacked rgb+disparity batch-2, spatially
+    # tiled + 2-latent-frame chunks — what bench.py's vae_decode_s times.
+    # (the un-tiled _decode_pixels at full 480p no longer fits beside the
+    # remote staging reservations: deterministic RESOURCE_EXHAUSTED)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 11, 16, 60, 90),
                             jnp.float32) * 0.7
     float(jnp.sum(lat[0, 0, 0, 0, :2]))  # real fence (tunnel)
 
     def run():
-        return pipe_mod._decode_pixels(cfg, jnp.bfloat16, vae_params, lat)
+        return pipe_mod._decode_pixels_tiled(cfg, jnp.bfloat16, vae_params,
+                                             lat)
 
     out = run()
     print("warm fence:", float(jnp.sum(out[..., :1].astype(jnp.float32))),
           flush=True)
     t0 = time.perf_counter()
     out = run()
-    float(jnp.sum(out[..., :1].astype(jnp.float32)))
-    print(f"warm decode (one 16ch stream, 41f x 480p): "
+    out.block_until_ready()
+    print(f"warm decode (stacked rgb+disp, 41f x 480p): "
           f"{time.perf_counter() - t0:.2f} s", flush=True)
 
     with jax.profiler.trace(trace_dir):
         out = run()
-        float(jnp.sum(out[..., :1].astype(jnp.float32)))
+        out.block_until_ready()
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)

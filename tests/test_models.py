@@ -464,3 +464,59 @@ def test_fused_mesh_ok_gate():
     assert _fused_mesh_ok(mesh, 4, 2)          # batch divides dp
     triv = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
     assert _fused_mesh_ok(triv, 5, 1)          # trivial mesh: single-chip ok
+
+
+def test_dit_flops_counter_matches_xla_cost_analysis():
+    """Pin the analytic MFU numerator against XLA's own FLOP count.
+
+    The analytic counter (utils/flops.py) counts matmuls only; XLA's
+    cost_analysis additionally counts norms/softmax/elementwise, so the
+    analytic value must sit just UNDER the XLA total — within a band wide
+    enough for the elementwise tail at this width. num_layers=1 because XLA
+    cost analysis counts a ``lax.scan`` body ONCE regardless of trip count
+    (the DiT scans its stacked blocks)."""
+    from aether_tpu.utils.flops import dit_forward_flops
+
+    cfg = DiTConfig(num_layers=1, num_heads=8, head_dim=32,
+                    text_embed_dim=64, max_text_seq_length=16,
+                    time_embed_dim=64, sample_height=8, sample_width=12)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    b, f, h, w = 1, 3, 8, 12
+    hidden = jnp.zeros((b, f, cfg.in_channels, h, w))
+    text = jnp.zeros((b, cfg.max_text_seq_length, cfg.text_embed_dim))
+    cos, sin = prepare_rotary_positional_embeddings(
+        cfg, h * 8, w * 8, f, vae_scale_factor_spatial=8, fps=12
+    )
+
+    fn = jax.jit(lambda p, x, t, ts: dit_forward(p, cfg, x, t, ts,
+                                                 cos, sin, attn_impl="xla"))
+    cost = fn.lower(params, hidden, text, jnp.array([999])).compile()
+    xla_flops = cost.cost_analysis()["flops"]
+    analytic = dit_forward_flops(cfg, b, f, h, w)
+    assert 0.80 * xla_flops <= analytic <= 1.02 * xla_flops, (
+        f"analytic {analytic:.3e} vs xla {xla_flops:.3e}"
+    )
+
+
+def test_vae_decode_flops_counter_matches_xla_cost_analysis():
+    """Same pin for the decode counter. XLA counts the input-dilated
+    subpixel upsampler conv at its full 4x4 tap count (it cannot see the
+    dilation zeros), a known 4x overcount of that conv's real MACs
+    (models/vae.py::_fold_upsample_kernel), so the band's lower edge is
+    wider than the DiT test's."""
+    from aether_tpu.models.vae import decode_frames
+    from aether_tpu.utils.flops import vae_decode_flops
+
+    cfg = VAEConfig(block_out_channels=(16, 32, 32, 64), layers_per_block=2,
+                    norm_num_groups=8)
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    b, t, hh, ww = 1, 3, 6, 8
+    lat = jnp.zeros((b, t, hh, ww, cfg.latent_channels))
+
+    fn = jax.jit(lambda p, z: decode_frames(p, cfg, z)[0])
+    cost = fn.lower(params, lat).compile()
+    xla_flops = cost.cost_analysis()["flops"]
+    analytic = vae_decode_flops(cfg, b, t, hh, ww)
+    assert 0.55 * xla_flops <= analytic <= 1.02 * xla_flops, (
+        f"analytic {analytic:.3e} vs xla {xla_flops:.3e}"
+    )
