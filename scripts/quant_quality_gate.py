@@ -39,6 +39,73 @@ def log(msg):
     print(f"[gate] {msg}", file=sys.stderr, flush=True)
 
 
+def make_structured(params, cfg, key):
+    """Impose trained-transformer structure on the i.i.d. init (VERDICT r3 #4).
+
+    i.i.d. Gaussian weights are the EASY case for per-column int8 scales; real
+    checkpoints fail quantization through three structures this reproduces
+    deterministically (same key -> same tree for every mode):
+
+    1. heavy-tailed elementwise spectrum — every quantized weight is
+       multiplied by exp(0.5 * z) (lognormal, excess kurtosis ~5) plus a
+       sparse 1% of elements scaled 8x, so a column's absmax is set by rare
+       spikes and the bulk of the column gets crushed into few int8 codes;
+    2. 20-50x outlier OUTPUT columns (8 per matrix) — stress the per-column
+       scale path end to end;
+    3. emergent residual-stream outlier dims (the LLM.int8() failure mode):
+       6 fixed hidden channels amplified 30x in every projection WRITING the
+       residual stream (patch/text embed, attention out, mlp w2), so the
+       activations entering every downstream matmul carry huge channels and
+       the per-TOKEN absmax activation quantization of the w8a8 path loses
+       most of its codebook on the non-outlier channels.
+
+    Mutates leaf-by-leaf (the bf16 tree is 10.4 GB; a functional map would
+    double it past the HBM cliff).
+    """
+    from aether_tpu.models.dit import _QUANT_WEIGHT_KEYS
+
+    d = cfg.hidden_size
+    outlier_dims = jax.random.choice(
+        jax.random.fold_in(key, 0), d, (6,), replace=False)
+    writes_residual = {"o_w", "w2", "proj_w", "text_w"}
+    counter = [1]
+
+    def structure_leaf(w, name):
+        k = jax.random.fold_in(key, counter[0])
+        counter[0] += 1
+        wf = w.astype(jnp.float32)
+        # lognormal elementwise heavy tail + sparse 8x spikes
+        z = jax.random.normal(jax.random.fold_in(k, 0), wf.shape)
+        spikes = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.01, wf.shape)
+        wf = wf * jnp.exp(0.5 * z) * jnp.where(spikes, 8.0, 1.0)
+        # 8 outlier output columns at 20-50x
+        cols = jax.random.choice(jax.random.fold_in(k, 2), wf.shape[-1], (8,),
+                                 replace=False)
+        mags = jax.random.uniform(jax.random.fold_in(k, 3), (8,), None, 20., 50.)
+        colscale = jnp.ones((wf.shape[-1],)).at[cols].set(mags)
+        wf = wf * colscale
+        # residual-stream outlier channels
+        if name in writes_residual and wf.shape[-1] == d:
+            wf = wf * jnp.ones((d,)).at[outlier_dims].set(30.0)
+        out = wf.astype(w.dtype)
+        out.block_until_ready()
+        return out
+
+    def walk(node):
+        if isinstance(node, dict):
+            for name, value in node.items():
+                if name in _QUANT_WEIGHT_KEYS and getattr(value, "ndim", 0) >= 2:
+                    node[name] = structure_leaf(value, name)
+                else:
+                    walk(value)
+        elif isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+
+    walk(params)
+    return params
+
+
 def main():
     from aether_tpu.config import DiTConfig
     from aether_tpu.models.dit import (
@@ -82,9 +149,13 @@ def main():
         host = np.asarray(out, np.float32).ravel()
         return host
 
+    structured = "--structured" in sys.argv
+
     def fresh_bf16():
         params = init_dit_params(key_w, cfg, dtype=dtype)
         jax.block_until_ready(params)
+        if structured:
+            params = make_structured(params, cfg, jax.random.PRNGKey(42))
         return params
 
     t0 = time.time()
@@ -132,6 +203,7 @@ def main():
         "gate": "quant_quality_one_denoise_step",
         "config": f"{cfg.num_layers}L x {cfg.hidden_size}d, "
                   f"{num_frames}f x {height}x{width}",
+        "weights": "structured" if structured else "iid",
         "backend": jax.default_backend(),
         "modes": results,
     }))
