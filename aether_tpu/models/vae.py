@@ -157,13 +157,22 @@ def _nearest_resize_temporal_aware(zq: jnp.ndarray, t: int, h: int, w: int) -> j
 def spatial_norm3d(
     f: jnp.ndarray, zq: jnp.ndarray, p: Params, groups: int, eps: float
 ) -> jnp.ndarray:
-    """MoVQ spatial norm: GroupNorm(f) * conv_y(zq) + conv_b(zq)."""
+    """MoVQ spatial norm: GroupNorm(f) * conv_y(zq) + conv_b(zq).
+
+    The 1x1x1 modulator convs run at LATENT resolution and their outputs are
+    nearest-resized, not the other way around: pointwise channel matmuls
+    commute bit-exactly with nearest resize (each output voxel contracts the
+    same zq voxel with the same kernel), and at the decoder's last stage the
+    swap replaces two [B,T,480,720,16]x[16,C] MXU matmuls (plus their ~GB
+    activation writes) with two tiny latent-grid matmuls and a broadcast that
+    fuses into the modulate multiply."""
     _, t, h, w, _ = f.shape
-    zq = _nearest_resize_temporal_aware(zq, t, h, w)
+    y = _pointwise(zq, p["conv_y_w"], p["conv_y_b"])
+    b = _pointwise(zq, p["conv_b_w"], p["conv_b_b"])
+    y = _nearest_resize_temporal_aware(y, t, h, w)
+    b = _nearest_resize_temporal_aware(b, t, h, w)
     norm_f = group_norm(f, p["norm_scale"], p["norm_bias"], groups, eps)
-    return norm_f * _pointwise(zq, p["conv_y_w"], p["conv_y_b"]) + _pointwise(
-        zq, p["conv_b_w"], p["conv_b_b"]
-    )
+    return norm_f * y + b
 
 
 # ---------------------------------------------------------------------------

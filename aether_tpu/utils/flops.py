@@ -65,19 +65,22 @@ def dit_forward_flops(
     return flops
 
 
-def _resnet_flops(voxels: float, cin: int, cout: int, zq_ch: int | None) -> float:
+def _resnet_flops(
+    voxels: float, cin: int, cout: int, zq_ch: int | None, lat_vox: float
+) -> float:
     """Two 3x3x3 convs + optional 1x1x1 shortcut + zq modulator pointwise convs.
 
     ``voxels`` = B*T*H*W at this stage. Decoder resnets carry TWO spatial
     norms, each with two zq-conditioned 1x1x1 convs (conv_y, conv_b) from
-    zq_ch channels (``models/vae.py::spatial_norm3d``).
+    zq_ch channels; those run at LATENT resolution (``lat_vox`` voxels) and
+    are nearest-resized after (``models/vae.py::spatial_norm3d``).
     """
     f = 2.0 * 27 * cin * cout * voxels + 2.0 * 27 * cout * cout * voxels
     if cin != cout:
         f += 2.0 * cin * cout * voxels
     if zq_ch is not None:
-        f += 2 * (2.0 * zq_ch * cin * voxels)  # norm1 modulators
-        f += 2 * (2.0 * zq_ch * cout * voxels)  # norm2 modulators
+        f += 2 * (2.0 * zq_ch * cin * lat_vox)  # norm1 modulators
+        f += 2 * (2.0 * zq_ch * cout * lat_vox)  # norm2 modulators
     return f
 
 
@@ -103,16 +106,18 @@ def vae_decode_flops(
     lat = cfg.latent_channels
     t, h, w = f_lat, h_lat, w_lat
     vox = float(batch) * t * h * w
+    lat_vox = vox  # zq modulators always run on the latent grid
 
     flops = 2.0 * 27 * lat * rev[0] * vox  # conv_in
     for _ in range(2):  # mid resnets at rev[0]
-        flops += _resnet_flops(vox, rev[0], rev[0], lat)
+        flops += _resnet_flops(vox, rev[0], rev[0], lat, lat_vox)
 
     ch_in = rev[0]
     n_up = len(rev)
     for i, ch_out in enumerate(rev):
         for j in range(cfg.layers_per_block + 1):
-            flops += _resnet_flops(vox, ch_in if j == 0 else ch_out, ch_out, lat)
+            flops += _resnet_flops(vox, ch_in if j == 0 else ch_out, ch_out,
+                                   lat, lat_vox)
             ch_in = ch_out
         if i < n_up - 1:
             if i < cfg.temporal_compress_level and t > 1:
@@ -122,8 +127,8 @@ def vae_decode_flops(
             h, w = 2 * h, 2 * w
             vox = float(batch) * t * h * w
 
-    # norm_out zq modulators + conv_out
-    flops += 2 * (2.0 * lat * rev[-1] * vox)
+    # norm_out zq modulators (latent grid) + conv_out
+    flops += 2 * (2.0 * lat * rev[-1] * lat_vox)
     flops += 2.0 * 27 * rev[-1] * cfg.out_channels * vox
     return flops
 
