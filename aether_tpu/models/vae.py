@@ -102,27 +102,45 @@ def group_norm(
 ) -> jnp.ndarray:
     """GroupNorm over (T, H, W, C/g) per (batch, group) — torch 5D semantics.
 
-    Single-pass moments (E[y^2] - E[y]^2 with y = x - c): both reductions
-    stream straight from the bf16 input. The two-pass form square(x - mean)
-    depends on the reduce result, so XLA materializes a full f32 temp of the
-    activation — ~1 GB per 480p decode chunk and the difference between
-    fitting and OOM at batch 2. The shift c (one sample per batch x group,
-    broadcast-subtracted — no reduction dependency, still fuses) bounds the
-    cancellation for large-mean small-variance groups: E[y] is O(spread)
-    rather than O(mean), so the m2 - m1^2 subtraction stays well-conditioned.
+    Layout-native formulation: moments are reduced PER CHANNEL over (T, H, W)
+    in the tensor's own [B, T, H, W, C] layout (C stays in lanes; the bf16
+    cast and the c0 subtract fuse into the reduction), then combined per
+    group on tiny [B, C] arrays. The earlier 6-D grouped-reshape form forced
+    a transposed layout on every f32 intermediate, which blocked fusion and
+    materialized three full-size f32 temps per norm — 3 x 3.16 GB at the
+    480p decode chunk, the direct cause of a compile-time HBM OOM (round-4
+    dump: ``broadcast...remat`` temps at vae.py:119-123). Here the apply is
+    a single fused elementwise pass, subtract-first ((x - shift) * gain +
+    bias) so large-mean groups keep full precision.
+
+    Single-pass moments (E[y^2] - E[y]^2 with y = x - c0): both reductions
+    stream straight from the bf16 input, and the shift c0 (the group's first
+    sample, no reduction dependency) bounds the cancellation for large-mean
+    small-variance groups: E[y] is O(spread) rather than O(mean), so the
+    m2 - m1^2 subtraction stays well-conditioned.
     """
     btype = x.dtype
     b, t, h, w, c = x.shape
-    xg = x.reshape(b, t, h, w, groups, c // groups)
-    xf = xg.astype(jnp.float32)
-    c0 = xf[:, :1, :1, :1, :, :1]
-    yf = xf - c0
-    m1 = jnp.mean(yf, axis=(1, 2, 3, 5), keepdims=True)
-    m2 = jnp.mean(jnp.square(yf), axis=(1, 2, 3, 5), keepdims=True)
+    cg = c // groups
+
+    def per_group(v):  # [B, C] -> group-uniform [B, 1, 1, 1, C]
+        g = jnp.mean(v.reshape(b, groups, cg), axis=-1)
+        return jnp.repeat(g, cg, axis=-1)[:, None, None, None, :]
+
+    # c0: the group's first channel at voxel (0, 0, 0), broadcast per channel
+    first = x[:, 0, 0, 0, :].astype(jnp.float32)  # [B, C]
+    c0 = jnp.repeat(first.reshape(b, groups, cg)[:, :, 0], cg, axis=-1)
+    c0 = c0[:, None, None, None, :]
+
+    y0 = x.astype(jnp.float32) - c0
+    m1c = jnp.mean(y0, axis=(1, 2, 3))             # [B, C] per-channel
+    m2c = jnp.mean(jnp.square(y0), axis=(1, 2, 3))
+    m1 = per_group(m1c)
+    m2 = per_group(m2c)
     var = jnp.maximum(m2 - jnp.square(m1), 0.0)
-    y = (yf - m1) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(b, t, h, w, c)
-    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(btype)
+    gain = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    y = (x.astype(jnp.float32) - (c0 + m1)) * gain + bias.astype(jnp.float32)
+    return y.astype(btype)
 
 
 def _nearest_resize(z: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:

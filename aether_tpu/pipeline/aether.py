@@ -173,6 +173,54 @@ def _encode_full(config, dtype, vae_params, video):
     return mean, logvar
 
 
+@functools.partial(jax.jit, static_argnames=("config", "dtype", "fb"))
+def _decode_scanned(config, dtype, vae_params, latents_cl, fb=2):
+    """Whole strip in ONE program, chunked inside via ``lax.scan``.
+
+    Bit-identical to the host-loop 2-latent-frame chunking (same chunk
+    boundaries -> same per-chunk GroupNorm statistics, conv caches threaded
+    as the scan carry), but a single dispatch per strip instead of
+    ``ceil(T/2)``: no per-chunk host->device execute roundtrips (15-30 ms
+    each through the tunnel), and XLA schedules the chunk pipeline as one
+    program. Workspace stays one-chunk-sized — the scan body is compiled
+    once — so HBM peak matches the chunked path, not the whole-clip one.
+    Opt-in via AETHER_SCAN_DECODE=1 (see :func:`_scan_decode_enabled`).
+    """
+    from aether_tpu.models.vae import decode_frames
+
+    z = latents_cl.astype(dtype)
+    b, t = z.shape[0], z.shape[1]
+    n_chunks = max(t // fb, 1)
+    first_end = t - (n_chunks - 1) * fb  # first chunk absorbs the remainder
+    v0, cache = decode_frames(vae_params, config.vae, z[:, :first_end], None)
+    if n_chunks == 1:
+        return v0
+
+    rest = z[:, first_end:]
+    chunks = jnp.moveaxis(
+        rest.reshape(b, n_chunks - 1, fb, *rest.shape[2:]), 1, 0)
+
+    def body(carry, chunk):
+        video, carry = decode_frames(vae_params, config.vae, chunk, carry)
+        return carry, video
+
+    _, vs = jax.lax.scan(body, cache, chunks)
+    # (n-1, B, fb*r, H, W, 3) -> (B, (n-1)*fb*r, H, W, 3)
+    vs = jnp.moveaxis(vs, 0, 1).reshape(
+        b, -1, *vs.shape[3:])
+    return jnp.concatenate([v0, vs], axis=1)
+
+
+def _scan_decode_enabled() -> bool:
+    """AETHER_SCAN_DECODE=1 decodes each strip as ONE jitted scan over
+    2-latent-frame chunks (bit-exact vs the host loop) instead of ~5 chained
+    dispatches. Default off until measured faster on the target runtime."""
+    import os
+
+    return os.environ.get("AETHER_SCAN_DECODE", "0").lower() in (
+        "1", "true", "on")
+
+
 @functools.partial(jax.jit, static_argnames=("config", "dtype"))
 def _decode_full(config, dtype, vae_params, latents_cl):
     """Whole-clip decode in one graph: no conv-cache outputs, so XLA frees
@@ -699,6 +747,9 @@ def _decode_pixels(
     z = jnp.moveaxis(z, 2, -1)  # channels-last
     if frame_batch_size is None:
         return _decode_full(config, dtype, vae_params, z)
+    if _scan_decode_enabled():
+        return _decode_scanned(config, dtype, vae_params, z,
+                               fb=frame_batch_size)
     t = z.shape[1]
     n_chunks = max(t // frame_batch_size, 1)
     remaining = t % frame_batch_size if t > frame_batch_size else 0

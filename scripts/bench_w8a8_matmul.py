@@ -118,6 +118,48 @@ def main():
         },
     }
 
+    # --- MLP down-proj (N=3072, the narrow-shape 144 TF/s case) layout probes:
+    # can the 12288->3072 matmul reach the wide-N rate through a different
+    # contraction layout? (VERDICT r3 #2)
+    x4 = jax.random.normal(jax.random.fold_in(key, 4), (s, 4 * d),
+                           jnp.bfloat16) * 0.05
+    w_dn8_t = jnp.ascontiguousarray(w_dn8.T)  # [3072, 12288], contract dim 1
+    dn_flop = 2 * s * 4 * d * d
+
+    def dn_std(c):
+        y = jax.lax.dot_general(c, w_dn8, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return jnp.clip(y >> 7, -127, 127).astype(jnp.int8)
+
+    def dn_wt(c):
+        y = jax.lax.dot_general(c, w_dn8_t, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return jnp.clip(y >> 7, -127, 127).astype(jnp.int8)
+
+    def dn_ksplit(c):
+        # K=12288 as 4 stacked [3072, 3072] dots summed — trades one tall
+        # matmul for four square ones (probes whether N=3072 inefficiency
+        # is K-pipelining or N-width)
+        cs = c.reshape(s, 4, d)
+        y = sum(jax.lax.dot_general(cs[:, i], w_dn8[i * d:(i + 1) * d],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                for i in range(4))
+        return jnp.clip(y >> 7, -127, 127).astype(jnp.int8)
+
+    x48 = jnp.round(jnp.clip(x4.astype(jnp.float32) * 100, -127, 127)).astype(
+        jnp.int8)
+    for label, fn_probe in (("dn_standard", dn_std), ("dn_w_transposed", dn_wt),
+                            ("dn_k_split4", dn_ksplit)):
+        def step(c, f=fn_probe):
+            out = f(c)  # [s, d] int8
+            return jnp.tile(out, (1, 4))  # back to [s, 4d] for the chain
+
+        ms = chained_ms(step, x48)
+        print(f"[mlp dn 12288->3072] {label:15s}: {ms:7.3f} ms "
+              f"({dn_flop / (ms * 1e-3) / 1e12:6.1f} TF/s, incl tile pass)",
+              flush=True)
+
     x8 = jnp.round(jnp.clip(x.astype(jnp.float32) * 100, -127, 127)).astype(
         jnp.int8)
     for name, case in cases.items():

@@ -65,3 +65,26 @@ def test_stacked_decode_reraises_non_oom(monkeypatch):
     with pytest.raises(jax.errors.JaxRuntimeError, match="Mosaic"):
         pipe_mod._decode_rgb_and_disparity(
             cfg, jnp.float32, vae_params, lat, tiling=False)
+
+
+def test_scanned_decode_bitmatches_chunked(monkeypatch):
+    """AETHER_SCAN_DECODE=1 (one jitted scan per strip) must be BIT-identical
+    to the host-loop 2-frame chunking: same chunk boundaries -> same per-chunk
+    GroupNorm statistics, conv caches threaded as the scan carry. Covers the
+    remainder-absorbing first chunk (t=5, fb=2 -> chunks 3+2), the exact
+    division (t=4 -> 2+2) and the single-chunk degenerate (t=2)."""
+    cfg = PipelineConfig.tiny()
+    vae_params = init_vae_params(jax.random.PRNGKey(0), cfg.vae)
+    for t in (5, 4, 2):
+        lat = jax.random.normal(
+            jax.random.PRNGKey(t), (1, t, cfg.vae.latent_channels, 8, 12),
+            jnp.float32)
+        monkeypatch.delenv("AETHER_SCAN_DECODE", raising=False)
+        chunked = pipe_mod._decode_pixels(cfg, jnp.float32, vae_params, lat,
+                                          frame_batch_size=2)
+        monkeypatch.setenv("AETHER_SCAN_DECODE", "1")
+        scanned = pipe_mod._decode_pixels(cfg, jnp.float32, vae_params, lat,
+                                          frame_batch_size=2)
+        assert scanned.shape == chunked.shape, t
+        np.testing.assert_array_equal(np.asarray(scanned),
+                                      np.asarray(chunked))
