@@ -132,9 +132,18 @@ def group_norm(
     c0 = jnp.repeat(first.reshape(b, groups, cg)[:, :, 0], cg, axis=-1)
     c0 = c0[:, None, None, None, :]
 
+    # ONE variadic reduce for both moments: separate jnp.mean calls give XLA
+    # two reduce ops sharing the y0 producer, which it materializes as
+    # full-size f32 temps (plus a relayout copy) — 3 x 1.6 GB at the 480p
+    # decode chunk, observed in this round's compile-OOM dump. A single
+    # multi-operand reduce input-fuses the cast/sub/square chain instead.
     y0 = x.astype(jnp.float32) - c0
-    m1c = jnp.mean(y0, axis=(1, 2, 3))             # [B, C] per-channel
-    m2c = jnp.mean(jnp.square(y0), axis=(1, 2, 3))
+    n = t * h * w
+    s1, s2 = jax.lax.reduce(
+        (y0, jnp.square(y0)), (jnp.float32(0), jnp.float32(0)),
+        lambda a, v: (a[0] + v[0], a[1] + v[1]), (1, 2, 3),
+    )
+    m1c, m2c = s1 / n, s2 / n                      # [B, C] per-channel
     m1 = per_group(m1c)
     m2 = per_group(m2c)
     var = jnp.maximum(m2 - jnp.square(m1), 0.0)
