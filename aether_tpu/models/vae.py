@@ -97,6 +97,23 @@ def _pointwise(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.
     return out.astype(x.dtype)
 
 
+def _gn_pallas_enabled(shape) -> bool:
+    """Use the Pallas moments kernel: TPU backend, supported shape, and not
+    disabled via AETHER_GN_PALLAS=0."""
+    import os
+
+    if os.environ.get("AETHER_GN_PALLAS", "1").lower() in ("0", "false", "off"):
+        return False
+    from aether_tpu.ops.groupnorm import moments_kernel_supported
+
+    if not moments_kernel_supported(shape):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def group_norm(
     x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, groups: int, eps: float
 ) -> jnp.ndarray:
@@ -132,18 +149,22 @@ def group_norm(
     c0 = jnp.repeat(first.reshape(b, groups, cg)[:, :, 0], cg, axis=-1)
     c0 = c0[:, None, None, None, :]
 
-    # ONE variadic reduce for both moments: separate jnp.mean calls give XLA
-    # two reduce ops sharing the y0 producer, which it materializes as
-    # full-size f32 temps (plus a relayout copy) — 3 x 1.6 GB at the 480p
-    # decode chunk, observed in this round's compile-OOM dump. A single
-    # multi-operand reduce input-fuses the cast/sub/square chain instead.
-    y0 = x.astype(jnp.float32) - c0
-    n = t * h * w
-    s1, s2 = jax.lax.reduce(
-        (y0, jnp.square(y0)), (jnp.float32(0), jnp.float32(0)),
-        lambda a, v: (a[0] + v[0], a[1] + v[1]), (1, 2, 3),
-    )
-    m1c, m2c = s1 / n, s2 / n                      # [B, C] per-channel
+    # Moments via the Pallas kernel on TPU: XLA refuses to input-fuse the
+    # cast/sub/square producers into the per-channel reduces at the 480p
+    # decode stages (the conv output's tiled layout differs from the
+    # reduce's preferred one) and materializes full-size f32 temps —
+    # 3 x 1.6 GB per norm in the round-4 compile-OOM dump; a variadic
+    # two-operand reduce materializes the same buffers. The kernel reads
+    # each tile once in its native layout with f32 VMEM accumulators
+    # (``ops/groupnorm.py``). AETHER_GN_PALLAS=0 restores the XLA reduce.
+    if _gn_pallas_enabled(x.shape):
+        from aether_tpu.ops.groupnorm import groupnorm_moments
+
+        m1c, m2c = groupnorm_moments(x, c0[:, 0, 0, 0, :])
+    else:
+        y0 = x.astype(jnp.float32) - c0
+        m1c = jnp.mean(y0, axis=(1, 2, 3))         # [B, C] per-channel
+        m2c = jnp.mean(jnp.square(y0), axis=(1, 2, 3))
     m1 = per_group(m1c)
     m2 = per_group(m2c)
     var = jnp.maximum(m2 - jnp.square(m1), 0.0)
