@@ -28,21 +28,24 @@ from jax.experimental import pallas as pl
 
 
 def _moments_kernel(x_ref, c0_ref, s1_ref, s2_ref):
-    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
-    xf = x_ref[0, 0].astype(jnp.float32)  # (bh, W, C)
-    y = xf - c0_ref[0][None, None, :]
+    # x rides as [B*T, H, W, C] (4-D block, trailing (W, C) equal to the
+    # array dims); c0/s1/s2 as [B, 1, C] so their (1, C) trailing block dims
+    # satisfy Mosaic's block-shape rule (second-minor equal to the array dim).
+    first = pl.program_id(1) == 0
+    xf = x_ref[0].astype(jnp.float32)  # (bh, W, C)
+    y = xf - c0_ref[0, 0][None, None, :]
     s1 = jnp.sum(y, axis=(0, 1))
     s2 = jnp.sum(y * y, axis=(0, 1))
 
     @pl.when(first)
     def _init():
-        s1_ref[0] = s1
-        s2_ref[0] = s2
+        s1_ref[0, 0] = s1
+        s2_ref[0, 0] = s2
 
     @pl.when(jnp.logical_not(first))
     def _accum():
-        s1_ref[0] += s1
-        s2_ref[0] += s2
+        s1_ref[0, 0] += s1
+        s2_ref[0, 0] += s2
 
 
 def _pick_bh(h: int, w: int, c: int, cap_bytes: int = 4 << 20) -> int:
@@ -71,26 +74,26 @@ def groupnorm_moments(
     bh = _pick_bh(h, w, c)
     if bh == 0:
         raise ValueError(f"no dividing tile height for {x.shape}")
-    grid = (b, t, h // bh)
+    hb = h // bh
+    grid = (b, t * hb)  # per-b iterations are SEQUENTIAL: accumulation-safe
+    vec_spec = pl.BlockSpec((1, 1, c), lambda bb, i: (bb, 0, 0))
     s1, s2 = pl.pallas_call(
         _moments_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bh, w, c), lambda bb, tt, hh: (bb, tt, hh, 0, 0)),
-            pl.BlockSpec((1, c), lambda bb, tt, hh: (bb, 0)),
+            pl.BlockSpec((1, bh, w, c),
+                         lambda bb, i: (bb * t + i // hb, i % hb, 0, 0)),
+            vec_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((1, c), lambda bb, tt, hh: (bb, 0)),
-            pl.BlockSpec((1, c), lambda bb, tt, hh: (bb, 0)),
-        ],
+        out_specs=[vec_spec, vec_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
         ],
         interpret=interpret,
-    )(x, c0.astype(jnp.float32))
+    )(x.reshape(b * t, h, w, c), c0.astype(jnp.float32)[:, None, :])
     n = float(t * h * w)
-    return s1 / n, s2 / n
+    return s1[:, 0] / n, s2[:, 0] / n
 
 
 def moments_kernel_supported(shape: Tuple[int, ...]) -> bool:
