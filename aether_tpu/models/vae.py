@@ -98,11 +98,15 @@ def _pointwise(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.
 
 
 def _gn_pallas_enabled(shape) -> bool:
-    """Use the Pallas moments kernel: TPU backend, supported shape, and not
-    disabled via AETHER_GN_PALLAS=0."""
+    """Opt-in (AETHER_GN_PALLAS=1) Pallas moments kernel: TPU backend and a
+    supported shape. Default OFF — the round-4 on-chip A/B measured the
+    kernel 2.5x slower per decode chunk than the frame-split XLA reduce
+    (pallas_call blocks producer fusion and relayouts every norm input);
+    the compile-OOM it was built to fix is solved by the frame split."""
     import os
 
-    if os.environ.get("AETHER_GN_PALLAS", "1").lower() in ("0", "false", "off"):
+    if os.environ.get("AETHER_GN_PALLAS", "0").lower() not in ("1", "true",
+                                                               "on"):
         return False
     from aether_tpu.ops.groupnorm import moments_kernel_supported
 
@@ -149,22 +153,35 @@ def group_norm(
     c0 = jnp.repeat(first.reshape(b, groups, cg)[:, :, 0], cg, axis=-1)
     c0 = c0[:, None, None, None, :]
 
-    # Moments via the Pallas kernel on TPU: XLA refuses to input-fuse the
-    # cast/sub/square producers into the per-channel reduces at the 480p
-    # decode stages (the conv output's tiled layout differs from the
-    # reduce's preferred one) and materializes full-size f32 temps —
-    # 3 x 1.6 GB per norm in the round-4 compile-OOM dump; a variadic
-    # two-operand reduce materializes the same buffers. The kernel reads
-    # each tile once in its native layout with f32 VMEM accumulators
-    # (``ops/groupnorm.py``). AETHER_GN_PALLAS=0 restores the XLA reduce.
+    # Moments: XLA refuses to input-fuse the cast/sub/square producers into
+    # whole-tensor per-channel reduces at the 480p decode stages (the conv
+    # output's tiled layout differs from the reduce's preferred one) and
+    # materializes full-size f32 temps — 3 x 1.6 GB per norm in the round-4
+    # compile-OOM dump. Splitting the reduce PER FRAME caps each materialized
+    # f32 temp at [B, H, W, C] (~190 MB at the worst decode stage) while the
+    # partial sums accumulate on tiny [B, C] arrays; the unrolled T-loop adds
+    # no measurable time (the temps were already being written in the fused
+    # whole-tensor form — this only shortens their lifetime). The Pallas
+    # moments kernel (ops/groupnorm.py) is retained as an opt-in
+    # (AETHER_GN_PALLAS=1) but measured 2.5x SLOWER end-to-end than the XLA
+    # reduce on the strip decode path (0.989 s vs 0.399 s per warm chunk,
+    # round-4 on-chip A/B) — its pallas_call blocks producer fusion and
+    # forces relayout copies of every norm input.
     if _gn_pallas_enabled(x.shape):
         from aether_tpu.ops.groupnorm import groupnorm_moments
 
         m1c, m2c = groupnorm_moments(x, c0[:, 0, 0, 0, :])
     else:
-        y0 = x.astype(jnp.float32) - c0
-        m1c = jnp.mean(y0, axis=(1, 2, 3))         # [B, C] per-channel
-        m2c = jnp.mean(jnp.square(y0), axis=(1, 2, 3))
+        c0f = c0[:, 0]  # [B, 1, 1, C]
+        s1 = jnp.zeros((b, c), jnp.float32)
+        s2 = jnp.zeros((b, c), jnp.float32)
+        for ti in range(t):
+            yt = x[:, ti].astype(jnp.float32) - c0f
+            s1 = s1 + jnp.sum(yt, axis=(1, 2))
+            s2 = s2 + jnp.sum(jnp.square(yt), axis=(1, 2))
+        n = float(t * h * w)
+        m1c = s1 / n
+        m2c = s2 / n
     m1 = per_group(m1c)
     m2 = per_group(m2c)
     var = jnp.maximum(m2 - jnp.square(m1), 0.0)
@@ -302,32 +319,44 @@ def _downsample3d(x: jnp.ndarray, p: Params, compress_time: bool) -> jnp.ndarray
 
 
 def _fold_upsample_kernel(k3: jnp.ndarray) -> jnp.ndarray:
-    """Fold a 3x3 kernel into four 2x2 parity kernels for subpixel upsampling.
+    """Fold a 3x3 kernel into four parity kernels embedded in one 3x3 conv.
 
     nearest-2x-upsample + conv3x3(pad 1) computes, for output parity (a, b):
       out[2i+a, 2j+b] = sum_{u,v} K[u,v] * x[i + rmap_a(u), j + rmap_b(v)]
     with rmap_0 = (-1, 0, 0) and rmap_1 = (0, 0, 1) (floor((a+u-1)/2)). Each
-    parity therefore sees a 2x2 effective kernel over low-res pixels — 4/9 of
-    the conv FLOPs at 4x better MXU contraction/output widths.
+    parity therefore sees a 2x2 effective kernel over LOW-RES pixels. The
+    four 2x2 parity kernels are embedded at their parity's offset inside one
+    (3, 3, Cin, 4*Cout) kernel, so the whole upsample is ONE plain NHWC
+    conv2d at low resolution + a depth-to-space interleave:
 
-    Expressed as ONE input-dilated (transposed-style) conv so XLA's conv
-    rewriter splits it into efficient parity convs and the interleave is the
-    conv's own output layout (an explicit slice/stack interleave materializes
-    multi-GB layout copies at the 480p stage).
+      rows, a=0: [K0, K1+K2, 0]   (taps low-res rows i-1, i)
+      rows, a=1: [0, K0+K1, K2]   (taps low-res rows i,   i+1)
 
-    With cross-correlation semantics, lhs_dilation=2 and padding (2, 2):
-      out[2i+a] needs x[i + rmap_a] with rmap_0 = {-1: K0, 0: K1+K2},
-      rmap_1 = {0: K0+K1, +1: K2}  (rmap_a(u) = floor((a+u-1)/2)),
-    which folds to the 4-tap kernel [K0, K0+K1, K1+K2, K2] per axis.
+    and the same fold on columns with b. Earlier rounds expressed this as an
+    input-dilated conv with a folded 4x4 kernel so XLA's conv rewriter would
+    split it into parity convs; the round-4 decode profile showed that
+    lowering is a pad/relayout storm (W 720->728 pads, 6-D transposed copies,
+    per-parity slice fusions — the largest single contributor to the 55% of
+    decode device time spent in copies). A plain conv2d keeps the layout the
+    other decoder convs use; the embedded zeros cost 9/4x the parity-conv
+    FLOPs but upsample convs are ~4% of stage FLOPs and the MXU was idle.
 
-    k3: (1, 3, 3, Cin, Cout) -> (1, 4, 4, Cin, Cout).
+    k3: (1, 3, 3, Cin, Cout) -> (3, 3, Cin, 4*Cout), parity blocks ordered
+    (a, b) = (0,0), (0,1), (1,0), (1,1) for the depth-to-space reshape.
     """
     k = k3[0]  # (3, 3, Cin, Cout)
-    rows = jnp.stack([k[0], k[0] + k[1], k[1] + k[2], k[2]])  # (4, 3, Ci, Co)
-    cols = jnp.stack(
-        [rows[:, 0], rows[:, 0] + rows[:, 1], rows[:, 1] + rows[:, 2],
-         rows[:, 2]], axis=1)  # (4, 4, Cin, Cout)
-    return cols[None]
+    z = jnp.zeros_like(k[0])
+    rows = {
+        0: jnp.stack([k[0], k[1] + k[2], z]),          # (3, 3, Ci, Co)
+        1: jnp.stack([z, k[0] + k[1], k[2]]),
+    }
+    def cols(r, b_):
+        zc = jnp.zeros_like(r[:, 0])
+        if b_ == 0:
+            return jnp.stack([r[:, 0], r[:, 1] + r[:, 2], zc], axis=1)
+        return jnp.stack([zc, r[:, 0] + r[:, 1], r[:, 2]], axis=1)
+    parts = [cols(rows[a], b_) for a in (0, 1) for b_ in (0, 1)]
+    return jnp.concatenate(parts, axis=-1)  # (3, 3, Cin, 4*Cout)
 
 
 def _upsample3d(x: jnp.ndarray, p: Params, compress_time: bool) -> jnp.ndarray:
@@ -355,15 +384,19 @@ def _upsample3d(x: jnp.ndarray, p: Params, compress_time: bool) -> jnp.ndarray:
         return _conv3d(x, kw, p["conv_b"], stride=(1, 1, 1),
                        padding=((0, 0), (1, 1), (1, 1)))
 
-    w4 = _fold_upsample_kernel(kw)
-    out = jax.lax.conv_general_dilated(
-        x,
+    cout = kw.shape[-1]
+    w4 = _fold_upsample_kernel(kw)  # (3, 3, Cin, 4*Cout)
+    o4 = jax.lax.conv_general_dilated(
+        x.reshape(b * t, h, w, c),
         w4.astype(x.dtype),
-        window_strides=(1, 1, 1),
-        padding=((0, 0), (2, 2), (2, 2)),
-        lhs_dilation=(1, 2, 2),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B*T, h, w, 4*Cout), parity blocks (a, b) on channels
+    # depth-to-space: out[2i+a, 2j+b, c] = o4[i, j, (2a+b)*Cout + c]
+    o4 = o4.reshape(b * t, h, w, 2, 2, cout)
+    out = jnp.transpose(o4, (0, 1, 3, 2, 4, 5)).reshape(
+        b, t, 2 * h, 2 * w, cout)
     if p["conv_b"] is not None:
         out = out + p["conv_b"].astype(x.dtype)
     return out

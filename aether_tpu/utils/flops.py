@@ -98,9 +98,11 @@ def vae_decode_flops(
     ``layers_per_block + 1`` resnets with 2x spatial upsamplers between them
     (temporal 2x on the first ``temporal_compress_level`` blocks, first frame
     preserved), spatial norm_out modulators and conv_out. Upsampler convs are
-    counted at their folded subpixel cost (4/9 of the naive high-res conv,
-    ``models/vae.py::_fold_upsample_kernel``). Causal-front-pad halo frames
-    (conv-cache re-reads) are excluded — they are overhead, not model work.
+    counted at the embedded-parity cost the code executes — one (3, 3, Cin,
+    4*Cout) low-res conv2d (36 taps/low-res voxel), equal to the naive
+    9-tap high-res conv (``models/vae.py::_fold_upsample_kernel``).
+    Causal-front-pad halo frames (conv-cache re-reads) are excluded — they
+    are overhead, not model work.
     """
     rev = list(reversed(cfg.block_out_channels))
     lat = cfg.latent_channels
@@ -122,8 +124,8 @@ def vae_decode_flops(
         if i < n_up - 1:
             if i < cfg.temporal_compress_level and t > 1:
                 t = 2 * t - 1 if t % 2 == 1 else 2 * t
-            # folded subpixel conv: 4 parity taps of 2x2 over LOW-res voxels
-            flops += 2.0 * 16 * ch_out * ch_out * (float(batch) * t * h * w)
+            # embedded-parity subpixel conv: (3, 3, Cin, 4*Cout) at LOW res
+            flops += 2.0 * 36 * ch_out * ch_out * (float(batch) * t * h * w)
             h, w = 2 * h, 2 * w
             vox = float(batch) * t * h * w
 
