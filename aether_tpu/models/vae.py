@@ -50,6 +50,21 @@ def _fold_keys(key):
 # ---------------------------------------------------------------------------
 
 
+def _conv2d_lower_enabled() -> bool:
+    """Lower VAE conv3ds as per-temporal-tap NHWC conv2ds (T folded into
+    batch) instead of one NDHWC conv3d; AETHER_CONV2D_LOWER=0 restores the
+    conv3d form. XLA's TPU conv3d lowering blocks W into 8x91 tiles with
+    720->728 pads and transposed {4,1,3,0,2} relayout copies around every
+    conv (round-4 decode profile: ~50% of device time in copies); the 2D
+    form keeps one layout — stacked RGB+disparity decode measured 7.91 ->
+    7.55 s in the same round-4 session (batch-1: parity). Exact to conv3d
+    within bf16 accumulation-order noise (goldens unchanged)."""
+    import os
+
+    return os.environ.get("AETHER_CONV2D_LOWER", "1").lower() not in (
+        "0", "false", "off")
+
+
 def _conv3d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -61,13 +76,32 @@ def _conv3d(
     # bf16 VAE); the MXU still accumulates partial sums in f32 internally, and
     # keeping activations narrow is what lets 480p chunks fit beside 11 GB of
     # resident DiT weights
-    out = jax.lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
-        window_strides=stride,
-        padding=padding,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
+    kt = w.shape[0]
+    if (_conv2d_lower_enabled() and padding[0] == (0, 0) and stride[0] == 1):
+        bsz, tp, h, ww, c = x.shape
+        t_out = tp - (kt - 1)
+        ph, pw = padding[1], padding[2]
+        sh, sw = stride[1], stride[2]
+        out = None
+        for k in range(kt):
+            xt = jax.lax.slice_in_dim(x, k, k + t_out, axis=1)
+            o = jax.lax.conv_general_dilated(
+                xt.reshape(bsz * t_out, h, ww, c),
+                w[k].astype(x.dtype),
+                window_strides=(sh, sw),
+                padding=(ph, pw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = o if out is None else out + o
+        out = out.reshape(bsz, t_out, *out.shape[1:])
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=stride,
+            padding=padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
     if b is not None:
         out = out + b.astype(x.dtype)
     return out
@@ -260,6 +294,7 @@ class ConvCache:
 
     def conv(self, x, w, b, name: str, stride=(1, 1, 1)):
         kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+        cache_slice = None
         if kt > 1:
             prev = self.cache_in.get(name)
             if prev is None:
@@ -267,9 +302,21 @@ class ConvCache:
             else:
                 front = prev.astype(x.dtype)
             x = jnp.concatenate([front, x], axis=1)
-            self.cache_out[name] = x[:, -(kt - 1):]
+            cache_slice = x[:, -(kt - 1):]
         pad_h, pad_w = kh // 2, kw // 2
-        return _conv3d(x, w, b, stride, ((0, 0), (pad_h, pad_h), (pad_w, pad_w)))
+        out = _conv3d(x, w, b, stride, ((0, 0), (pad_h, pad_h), (pad_w, pad_w)))
+        if cache_slice is not None:
+            # Tie the tiny cache slice's schedule to the conv output: the
+            # slices are otherwise only needed as function OUTPUTS, so XLA's
+            # scheduler defers them to the end of the chunk program — which
+            # keeps every conv's padded input alive simultaneously (~20
+            # concurrent multi-hundred-MB activations in the round-4 batch-2
+            # OOM dump). The barrier forces each slice to materialize before
+            # anything consumes its conv's output, letting the big parent
+            # buffer free as the decoder walks forward.
+            out, cache_slice = jax.lax.optimization_barrier((out, cache_slice))
+            self.cache_out[name] = cache_slice
+        return out
 
 
 def _resnet3d(

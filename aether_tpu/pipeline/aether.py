@@ -212,13 +212,25 @@ def _decode_scanned(config, dtype, vae_params, latents_cl, fb=2):
 
 
 def _scan_decode_enabled() -> bool:
-    """AETHER_SCAN_DECODE=1 decodes each strip as ONE jitted scan over
-    2-latent-frame chunks (bit-exact vs the host loop) instead of ~5 chained
-    dispatches. Default off until measured faster on the target runtime."""
+    """Decode each strip as ONE jitted scan over 2-latent-frame chunks
+    (bit-exact vs the host loop — same chunk boundaries, same per-chunk
+    GroupNorm statistics) instead of ~5 chained dispatches.
+
+    Default ON on accelerators: the round-4 on-chip A/B measured the stacked
+    RGB+disparity decode at 6.72 s scanned vs 7.55 s host-chunked (the
+    per-chunk execute roundtrips cost ~25 ms each through the tunnel and XLA
+    pipelines the scanned chunk sequence as one program). Default OFF on CPU
+    (tests compile the host-loop form faster). AETHER_SCAN_DECODE=0/1
+    overrides."""
     import os
 
-    return os.environ.get("AETHER_SCAN_DECODE", "0").lower() in (
-        "1", "true", "on")
+    mode = os.environ.get("AETHER_SCAN_DECODE")
+    if mode is not None:
+        return mode.lower() in ("1", "true", "on")
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 @functools.partial(jax.jit, static_argnames=("config", "dtype"))

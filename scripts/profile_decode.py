@@ -28,16 +28,31 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def classify(name: str) -> str:
-    n = name.lower()
-    if "conv" in n:
+    """Classify an HLO event by its OUTPUT op name (the text before ' = ').
+
+    The event string embeds operand names too ('fusion(... %copy-done ...)'),
+    so matching the whole string misfiles conv fusions whose operands mention
+    copies — the first version of this classifier put 59% of decode time in
+    'copy' that way. Anonymous '%fusion.N' ops are split by whether a conv
+    weight ([kt,3,3,Ci,Co] / [3,3,Ci,Co]-shaped operand) feeds them: on TPU
+    XLA names conv+elementwise output fusions plain 'fusion'."""
+    head = name.split(" = ")[0].lower() if " = " in name else name.lower()
+    if "conv" in head:
         return "conv"
-    if "reduce" in n or "rsqrt" in n:
+    if "reduce" in head or "rsqrt" in head:
         return "norm-reduce"
-    if "copy" in n or "concatenate" in n or "slice" in n or "pad" in n:
+    if ("copy" in head or "concatenate" in head or "slice" in head
+            or "pad" in head or "transpose" in head):
         return "copy/concat/pad"
-    if "fusion" in n:
+    if "fusion" in head:
+        import re
+
+        # 5-D DHWIO or 4-D HWIO conv-weight operand shapes
+        if re.search(r"\[[1-4],[34],[34],\d+,\d+\]|\[[34],[34],\d+,\d+\]",
+                     name):
+            return "conv(fused)"
         return "fusion(elementwise)"
-    if "dot" in n or "dosa" in n:
+    if "dot" in head:
         return "matmul"
     return "other"
 
