@@ -123,7 +123,7 @@ def main():
     # contraction layout? (VERDICT r3 #2)
     x4 = jax.random.normal(jax.random.fold_in(key, 4), (s, 4 * d),
                            jnp.bfloat16) * 0.05
-    w_dn8_t = jnp.ascontiguousarray(w_dn8.T)  # [3072, 12288], contract dim 1
+    w_dn8_t = jnp.asarray(np.ascontiguousarray(np.asarray(w_dn8).T))  # [3072, 12288], contract dim 1
     dn_flop = 2 * s * 4 * d * d
 
     def dn_std(c):
