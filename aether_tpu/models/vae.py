@@ -8,12 +8,21 @@ upsampling, and a MoVQ-style spatially-modulated GroupNorm (zq conditioning) in 
 decoder.
 
 TPU-native design:
-- channels-last [B, T, H, W, C] layout everywhere; conv kernels are DHWIO so XLA
-  lowers straight to MXU convolutions;
-- GroupNorm statistics in f32 over (T, H, W, C/g), matching torch GroupNorm on a
-  5D clip;
+- the encode/decode trunks run **T-major 4-D**: activations live as
+  ``(T*B, H, W, C)`` (frame-major rows) end-to-end, so every spatial conv is a
+  plain NHWC conv2d with NO reshape and every temporal op (causal front pad,
+  conv-cache slice, temporal tap, first-frame-preserving repeat / pair-average)
+  is a contiguous axis-0 block op. The earlier 5-D ``[B, T, H, W, C]`` trunk
+  round-tripped 5-D (concat/GN) <-> 4-D (conv2d) around every conv and XLA
+  assigned incompatible layouts to the two views — the round-4 decode profile
+  measured ~50% of decode device time in the resulting relayout copies
+  (45-93 ms per [16,256,720,128] transpose);
+- GroupNorm statistics in f32 over (T, H, W, C/g), matching torch GroupNorm on
+  a 5D clip, reduced per frame-block so no full-size f32 temp materializes;
 - 1x1x1 convolutions (shortcuts, zq modulators) are expressed as matmuls;
-- pure functions throughout — encode/decode jit and shard with the pipeline.
+- pure functions throughout — encode/decode jit and shard with the pipeline;
+- the public API keeps the channels-last 5-D ``[B, T, H, W, C]`` contract
+  (conversion at the trunk boundary is one cheap transpose per chunk).
 
 Parameter tree mirrors the checkpoint topology so a safetensors converter is a
 transpose-only mapping.
@@ -51,14 +60,15 @@ def _fold_keys(key):
 
 
 def _conv2d_lower_enabled() -> bool:
-    """Lower VAE conv3ds as per-temporal-tap NHWC conv2ds (T folded into
+    """Lower 5-D conv3ds as per-temporal-tap NHWC conv2ds (T folded into
     batch) instead of one NDHWC conv3d; AETHER_CONV2D_LOWER=0 restores the
-    conv3d form. XLA's TPU conv3d lowering blocks W into 8x91 tiles with
-    720->728 pads and transposed {4,1,3,0,2} relayout copies around every
-    conv (round-4 decode profile: ~50% of device time in copies); the 2D
-    form keeps one layout — stacked RGB+disparity decode measured 7.91 ->
-    7.55 s in the same round-4 session (batch-1: parity). Exact to conv3d
-    within bf16 accumulation-order noise (goldens unchanged)."""
+    conv3d form. Affects only the LEGACY 5-D helpers (``causal_conv3d`` /
+    ``ConvCache.conv``) — the production trunks are T-major 4-D native and
+    always conv2d. History: XLA's TPU conv3d lowering blocks W into 8x91
+    tiles with 720->728 pads and transposed {4,1,3,0,2} relayout copies
+    around every conv (round-4 decode profile: ~50% of device time in
+    copies); the 2D form measured 7.91 -> 7.55 s on the stacked decode.
+    Exact to conv3d within bf16 accumulation-order noise."""
     import os
 
     return os.environ.get("AETHER_CONV2D_LOWER", "1").lower() not in (
@@ -275,6 +285,226 @@ def spatial_norm3d(
 
 
 # ---------------------------------------------------------------------------
+# T-major 4-D trunk primitives
+#
+# Representation: activations are ``(T*B, H, W, C)`` with frame-major rows
+# (row t*B + b holds frame t of batch element b) plus a static frame count
+# ``t`` threaded alongside. Frame k..k+n of every batch element is then the
+# contiguous row block [k*B : (k+n)*B] — temporal taps, causal front pads,
+# conv-cache slices, nearest-repeat upsampling and pair-average downsampling
+# are all axis-0 block ops in the SAME layout the conv2ds use, so XLA never
+# inserts a relayout copy between a temporal op and a convolution.
+# ---------------------------------------------------------------------------
+
+
+def _to_tmajor(x5: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """[B, T, H, W, C] -> ((T*B, H, W, C), t). Free when B == 1."""
+    b, t = x5.shape[0], x5.shape[1]
+    x4 = jnp.transpose(x5, (1, 0, 2, 3, 4)).reshape(t * b, *x5.shape[2:])
+    return x4, t
+
+
+def _from_tmajor(x4: jnp.ndarray, t: int) -> jnp.ndarray:
+    """((T*B, H, W, C), t) -> [B, T, H, W, C]. Free when B == 1."""
+    b = x4.shape[0] // t
+    return jnp.transpose(x4.reshape(t, b, *x4.shape[1:]), (1, 0, 2, 3, 4))
+
+
+def _conv_tm(
+    x4: jnp.ndarray,
+    t: int,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    stride_hw: Tuple[int, int] = (1, 1),
+    pad_hw=((0, 0), (0, 0)),
+) -> jnp.ndarray:
+    """Conv over a temporally-padded T-major stack: one NHWC conv2d per
+    temporal tap, summed. ``x4`` carries ``t`` frames; output carries
+    ``t - (kt - 1)``. Partial sums accumulate in the conv output dtype (bf16
+    activations on TPU — the MXU still accumulates each conv internally in
+    f32), matching the 5-D lowering this replaces."""
+    kt = w.shape[0]
+    bsz = x4.shape[0] // t
+    t_out = t - (kt - 1)
+    out = None
+    for k in range(kt):
+        xt = jax.lax.slice_in_dim(x4, k * bsz, (k + t_out) * bsz, axis=0)
+        o = jax.lax.conv_general_dilated(
+            xt,
+            w[k].astype(x4.dtype),
+            window_strides=stride_hw,
+            padding=pad_hw,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = o if out is None else out + o
+    if b is not None:
+        out = out + b.astype(x4.dtype)
+    return out
+
+
+def _tile_t(v: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Per-batch [B, C] -> T-major broadcastable [T*B, 1, 1, C] (lowers to a
+    broadcast+reshape that fuses into the consuming elementwise op)."""
+    return jnp.tile(v, (t, 1))[:, None, None, :]
+
+
+def group_norm_tm(
+    x4: jnp.ndarray, t: int, scale: jnp.ndarray, bias: jnp.ndarray,
+    groups: int, eps: float,
+) -> jnp.ndarray:
+    """T-major GroupNorm: torch 5-D semantics (moments over (T, H, W, C/g)
+    per batch element), computed per frame-block so no full-size f32 temp
+    materializes (see :func:`group_norm` for the numerics rationale — same
+    shifted single-pass moments, same subtract-first apply)."""
+    btype = x4.dtype
+    tb, h, w, c = x4.shape
+    bsz = tb // t
+    cg = c // groups
+
+    first = x4[:bsz, 0, 0, :].astype(jnp.float32)  # [B, C] (frame 0 block)
+    c0 = jnp.repeat(first.reshape(bsz, groups, cg)[:, :, 0], cg, axis=-1)
+    c0r = c0[:, None, None, :]  # [B, 1, 1, C]
+
+    s1 = jnp.zeros((bsz, c), jnp.float32)
+    s2 = jnp.zeros((bsz, c), jnp.float32)
+    for ti in range(t):
+        yt = x4[ti * bsz:(ti + 1) * bsz].astype(jnp.float32) - c0r
+        s1 = s1 + jnp.sum(yt, axis=(1, 2))
+        s2 = s2 + jnp.sum(jnp.square(yt), axis=(1, 2))
+    n = float(t * h * w)
+
+    def per_group(v):  # [B, C] -> group-uniform [B, C]
+        g = jnp.mean(v.reshape(bsz, groups, cg), axis=-1)
+        return jnp.repeat(g, cg, axis=-1)
+
+    m1 = per_group(s1 / n)
+    m2 = per_group(s2 / n)
+    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    gain = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)[None, :]
+    shift = c0 + m1
+    y = (x4.astype(jnp.float32) - _tile_t(shift, t)) * _tile_t(gain, t)
+    y = y + bias.astype(jnp.float32)
+    return y.astype(btype)
+
+
+def _nearest_resize_tm(
+    z4: jnp.ndarray, t_in: int, shape: Tuple[int, int, int]
+) -> Tuple[jnp.ndarray, int]:
+    """T-major nearest resize to (t, h, w): idx = floor(i*in/out); exact
+    upscales take the gather-free repeat path (see :func:`_nearest_resize`)."""
+    t_out, h_out, w_out = shape
+    bsz = z4.shape[0] // t_in
+    if t_in != t_out:
+        v = z4.reshape(t_in, bsz, *z4.shape[1:])
+        if t_out % t_in == 0:
+            v = jnp.repeat(v, t_out // t_in, axis=0)
+        else:
+            idx = (jnp.arange(t_out) * t_in // t_out).astype(jnp.int32)
+            v = jnp.take(v, idx, axis=0)
+        z4 = v.reshape(t_out * bsz, *z4.shape[1:])
+    for axis, out_n in ((1, h_out), (2, w_out)):
+        in_n = z4.shape[axis]
+        if in_n == out_n:
+            continue
+        if out_n % in_n == 0:
+            z4 = jnp.repeat(z4, out_n // in_n, axis=axis)
+        else:
+            idx = (jnp.arange(out_n) * in_n // out_n).astype(jnp.int32)
+            z4 = jnp.take(z4, idx, axis=axis)
+    return z4, t_out
+
+
+def _resize_zq_tm(
+    zq4: jnp.ndarray, t_zq: int, t: int, h: int, w: int
+) -> jnp.ndarray:
+    """zq nearest-resize with the upstream first-frame temporal split."""
+    if t_zq > 1 and t % 2 == 1 and t > 1:
+        bsz = zq4.shape[0] // t_zq
+        z_first, _ = _nearest_resize_tm(zq4[:bsz], 1, (1, h, w))
+        z_rest, _ = _nearest_resize_tm(zq4[bsz:], t_zq - 1, (t - 1, h, w))
+        return jnp.concatenate([z_first, z_rest], axis=0)
+    out, _ = _nearest_resize_tm(zq4, t_zq, (t, h, w))
+    return out
+
+
+def spatial_norm_tm(
+    f4: jnp.ndarray, t: int, zq4: jnp.ndarray, t_zq: int, p: Params,
+    groups: int, eps: float,
+) -> jnp.ndarray:
+    """T-major MoVQ spatial norm (see :func:`spatial_norm3d`): modulator
+    matmuls at latent resolution, nearest-resized after (bit-exact commute)."""
+    h, w = f4.shape[1], f4.shape[2]
+    y = _pointwise(zq4, p["conv_y_w"], p["conv_y_b"])
+    b = _pointwise(zq4, p["conv_b_w"], p["conv_b_b"])
+    y = _resize_zq_tm(y, t_zq, t, h, w)
+    b = _resize_zq_tm(b, t_zq, t, h, w)
+    norm_f = group_norm_tm(f4, t, p["norm_scale"], p["norm_bias"], groups, eps)
+    return norm_f * y + b
+
+
+def _downsample_tm(
+    x4: jnp.ndarray, t: int, p: Params, compress_time: bool
+) -> Tuple[jnp.ndarray, int]:
+    """T-major temporal pair-average (first frame kept when odd) + spatial
+    stride-2 conv with the asymmetric (0, 1) pad (see :func:`_downsample3d`)."""
+    bsz = x4.shape[0] // t
+    if compress_time and t > 1:
+        v = x4.reshape(t, bsz, *x4.shape[1:])
+        if t % 2 == 1:
+            rest = (v[1::2] + v[2::2]) * 0.5
+            v = jnp.concatenate([v[:1], rest], axis=0)
+        else:
+            v = (v[0::2] + v[1::2]) * 0.5
+        t = v.shape[0]
+        x4 = v.reshape(t * bsz, *x4.shape[1:])
+    w = p["conv_w"]  # (1, 3, 3, in, out), leading time dim of 1
+    out = _conv_tm(x4, t, w, p["conv_b"], stride_hw=(2, 2),
+                   pad_hw=((0, 1), (0, 1)))
+    return out, t
+
+
+def _upsample_tm(
+    x4: jnp.ndarray, t: int, p: Params, compress_time: bool
+) -> Tuple[jnp.ndarray, int]:
+    """T-major nearest 2x upsample (first-frame-preserving temporally) + k3
+    conv, computed as the folded parity conv2d + depth-to-space
+    (see :func:`_upsample3d` / :func:`_fold_upsample_kernel`)."""
+    tb, h, w, c = x4.shape
+    bsz = tb // t
+
+    if compress_time and t > 1:
+        v = x4.reshape(t, bsz, h, w, c)
+        if t % 2 == 1:
+            v = jnp.concatenate([v[:1], jnp.repeat(v[1:], 2, axis=0)], axis=0)
+        else:
+            v = jnp.repeat(v, 2, axis=0)
+        t = v.shape[0]
+        x4 = v.reshape(t * bsz, h, w, c)
+
+    kw = p["conv_w"]
+    if kw.shape[:3] != (1, 3, 3):  # generic fallback (not hit by this VAE)
+        x4, t = _nearest_resize_tm(x4, t, (t, 2 * h, 2 * w))
+        return _conv_tm(x4, t, kw, p["conv_b"], pad_hw=((1, 1), (1, 1))), t
+
+    cout = kw.shape[-1]
+    w4 = _fold_upsample_kernel(kw)  # (3, 3, Cin, 4*Cout)
+    o4 = jax.lax.conv_general_dilated(
+        x4,
+        w4.astype(x4.dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (T*B, h, w, 4*Cout), parity blocks (a, b) on channels
+    tb2 = o4.shape[0]
+    o4 = o4.reshape(tb2, h, w, 2, 2, cout)
+    out = jnp.transpose(o4, (0, 1, 3, 2, 4, 5)).reshape(
+        tb2, 2 * h, 2 * w, cout)
+    if p["conv_b"] is not None:
+        out = out + p["conv_b"].astype(x4.dtype)
+    return out, t
+
+
+# ---------------------------------------------------------------------------
 # blocks
 # ---------------------------------------------------------------------------
 
@@ -317,6 +547,63 @@ class ConvCache:
             out, cache_slice = jax.lax.optimization_barrier((out, cache_slice))
             self.cache_out[name] = cache_slice
         return out
+
+    def conv_tm(self, x4, t: int, w, b, name: str):
+        """T-major cached causal conv: the causal front pad (replicate frame 0
+        or the previous chunk's cache) and the cache slice are contiguous
+        axis-0 block ops; cache entries are stored T-major
+        ``((kt-1)*B, H, W, C)``. Same schedule barrier as :meth:`conv`."""
+        kt, kh, kw_ = w.shape[0], w.shape[1], w.shape[2]
+        bsz = x4.shape[0] // t
+        cache_slice = None
+        t_in = t
+        if kt > 1:
+            prev = self.cache_in.get(name)
+            if prev is None:
+                front = jnp.tile(x4[:bsz], (kt - 1, 1, 1, 1))
+            else:
+                front = prev.astype(x4.dtype)
+            x4 = jnp.concatenate([front, x4], axis=0)
+            t_in = t + kt - 1
+            cache_slice = x4[-(kt - 1) * bsz:]
+        out = _conv_tm(x4, t_in, w, b,
+                       pad_hw=((kh // 2, kh // 2), (kw_ // 2, kw_ // 2)))
+        if cache_slice is not None:
+            out, cache_slice = jax.lax.optimization_barrier((out, cache_slice))
+            self.cache_out[name] = cache_slice
+        return out
+
+
+def _resnet_tm(
+    x4: jnp.ndarray,
+    t: int,
+    p: Params,
+    cfg: VAEConfig,
+    zq4: Optional[jnp.ndarray] = None,
+    t_zq: int = 1,
+    cache: Optional[ConvCache] = None,
+    path: str = "",
+) -> jnp.ndarray:
+    """T-major CogVideoX 3D resnet block (see :func:`_resnet3d`)."""
+    groups, eps = cfg.norm_num_groups, cfg.norm_eps
+    cache = cache if cache is not None else ConvCache()
+
+    def norm(h, np_):
+        if zq4 is None:
+            return group_norm_tm(h, t, np_["norm_scale"], np_["norm_bias"],
+                                 groups, eps)
+        return spatial_norm_tm(h, t, zq4, t_zq, np_, groups, eps)
+
+    h = norm(x4, p["norm1"])
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
+    h = cache.conv_tm(h, t, p["conv1_w"], p["conv1_b"], path + "/conv1")
+    h = norm(h, p["norm2"])
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
+    h = cache.conv_tm(h, t, p["conv2_w"], p["conv2_b"], path + "/conv2")
+
+    if "shortcut_w" in p:
+        x4 = _pointwise(x4, p["shortcut_w"], p["shortcut_b"])
+    return x4 + h
 
 
 def _resnet3d(
@@ -577,27 +864,31 @@ def encode_moments(
     enc = params["encoder"]
     tcl = cfg.temporal_compress_level
     cache = ConvCache(cache_in)
-    x = cache.conv(video, enc["conv_in_w"], enc["conv_in_b"], "enc/conv_in")
+    x, t = _to_tmajor(video)
+    x = cache.conv_tm(x, t, enc["conv_in_w"], enc["conv_in_b"], "enc/conv_in")
 
     for i, block in enumerate(enc["down_blocks"]):
         for j, rp in enumerate(block["resnets"]):
-            x = _resnet3d(x, rp, cfg, cache=cache, path=f"enc/down{i}/res{j}")
+            x = _resnet_tm(x, t, rp, cfg, cache=cache,
+                           path=f"enc/down{i}/res{j}")
         if "downsampler" in block:
-            x = _downsample3d(x, block["downsampler"], compress_time=i < tcl)
+            x, t = _downsample_tm(x, t, block["downsampler"],
+                                  compress_time=i < tcl)
         if collect is not None:
-            collect.append(x)
+            collect.append(_from_tmajor(x, t))
 
     for j, rp in enumerate(enc["mid"]):
-        x = _resnet3d(x, rp, cfg, cache=cache, path=f"enc/mid{j}")
+        x = _resnet_tm(x, t, rp, cfg, cache=cache, path=f"enc/mid{j}")
     if collect is not None:
-        collect.append(x)
+        collect.append(_from_tmajor(x, t))
 
-    x = group_norm(x, enc["norm_out_scale"], enc["norm_out_bias"],
-                   cfg.norm_num_groups, cfg.norm_eps)
+    x = group_norm_tm(x, t, enc["norm_out_scale"], enc["norm_out_bias"],
+                      cfg.norm_num_groups, cfg.norm_eps)
     x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
-    x = cache.conv(x, enc["conv_out_w"], enc["conv_out_b"], "enc/conv_out")
+    x = cache.conv_tm(x, t, enc["conv_out_w"], enc["conv_out_b"],
+                      "enc/conv_out")
 
-    mean, logvar = jnp.split(x, 2, axis=-1)
+    mean, logvar = jnp.split(_from_tmajor(x, t), 2, axis=-1)
     return mean, logvar, cache.cache_out
 
 
@@ -673,27 +964,33 @@ def decode_frames(
     every up block — per-stage parity diffing against torch goldens."""
     dec = params["decoder"]
     tcl = cfg.temporal_compress_level
-    zq = latents
     cache = ConvCache(cache_in)
-    x = cache.conv(latents, dec["conv_in_w"], dec["conv_in_b"], "dec/conv_in")
+    zq4, t_zq = _to_tmajor(latents)
+    x, t = zq4, t_zq
+    x = cache.conv_tm(x, t, dec["conv_in_w"], dec["conv_in_b"], "dec/conv_in")
 
     for j, rp in enumerate(dec["mid"]):
-        x = _resnet3d(x, rp, cfg, zq=zq, cache=cache, path=f"dec/mid{j}")
+        x = _resnet_tm(x, t, rp, cfg, zq4=zq4, t_zq=t_zq, cache=cache,
+                       path=f"dec/mid{j}")
     if collect is not None:
-        collect.append(x)
+        collect.append(_from_tmajor(x, t))
 
     for i, block in enumerate(dec["up_blocks"]):
         for j, rp in enumerate(block["resnets"]):
-            x = _resnet3d(x, rp, cfg, zq=zq, cache=cache, path=f"dec/up{i}/res{j}")
+            x = _resnet_tm(x, t, rp, cfg, zq4=zq4, t_zq=t_zq, cache=cache,
+                           path=f"dec/up{i}/res{j}")
         if "upsampler" in block:
-            x = _upsample3d(x, block["upsampler"], compress_time=i < tcl)
+            x, t = _upsample_tm(x, t, block["upsampler"],
+                                compress_time=i < tcl)
         if collect is not None:
-            collect.append(x)
+            collect.append(_from_tmajor(x, t))
 
-    x = spatial_norm3d(x, zq, dec["norm_out"], cfg.norm_num_groups, cfg.norm_eps)
+    x = spatial_norm_tm(x, t, zq4, t_zq, dec["norm_out"],
+                        cfg.norm_num_groups, cfg.norm_eps)
     x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
-    x = cache.conv(x, dec["conv_out_w"], dec["conv_out_b"], "dec/conv_out")
-    return x, cache.cache_out
+    x = cache.conv_tm(x, t, dec["conv_out_w"], dec["conv_out_b"],
+                      "dec/conv_out")
+    return _from_tmajor(x, t), cache.cache_out
 
 
 def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
