@@ -522,3 +522,28 @@ def test_vae_decode_flops_counter_matches_xla_cost_analysis():
     assert 0.55 * xla_flops <= analytic <= 1.15 * xla_flops, (
         f"analytic {analytic:.3e} vs xla {xla_flops:.3e}"
     )
+
+
+def test_stacked_batch_decode_equals_serial_decodes():
+    """The pipeline's stacked RGB+disparity decode rides one batch-2 pass
+    (pipeline._decode_rgb_and_disparity); with the T-major trunk every op is
+    batch-independent (GroupNorm stats are per batch element, convs batch
+    over rows), so the stacked result must match two serial batch-1 decodes
+    to within bf16-accumulation noise. Also covers the chunked/cached path
+    (odd first chunk absorbing the remainder)."""
+    from aether_tpu.models.vae import vae_decode_chunked
+
+    cfg = VAEConfig(block_out_channels=(8, 16, 16, 32), layers_per_block=1,
+                    norm_num_groups=4)
+    params = init_vae_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(3)
+    za = jnp.asarray(rng.normal(size=(1, 3, 4, 6, cfg.latent_channels)),
+                     jnp.float32)
+    zb = jnp.asarray(rng.normal(size=(1, 3, 4, 6, cfg.latent_channels)),
+                     jnp.float32)
+    stacked = vae_decode_chunked(params, cfg, jnp.concatenate([za, zb], 0))
+    va = vae_decode_chunked(params, cfg, za)
+    vb = vae_decode_chunked(params, cfg, zb)
+    np.testing.assert_allclose(np.asarray(stacked),
+                               np.asarray(jnp.concatenate([va, vb], 0)),
+                               atol=1e-5)
