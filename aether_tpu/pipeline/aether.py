@@ -615,6 +615,9 @@ def _feather(prev: jnp.ndarray, curr: jnp.ndarray, prev_end: int,
 # Adaptive full-strip decode state: None = untried, True = works on this
 # runtime, False = allocation failed once -> permanently chunked this process.
 _FULL_STRIP_STATE: Dict[str, Optional[bool]] = {"ok": None}
+# scan-decode health: None = untried, True = compiled+ran, False = fell back
+# (remote compile failed / compile-OOM) — host-loop chunks for the process
+_SCAN_DECODE_STATE: Dict[str, Optional[bool]] = {"ok": None}
 
 
 def _oom_is_survivable() -> bool:
@@ -759,9 +762,31 @@ def _decode_pixels(
     z = jnp.moveaxis(z, 2, -1)  # channels-last
     if frame_batch_size is None:
         return _decode_full(config, dtype, vae_params, z)
-    if _scan_decode_enabled():
-        return _decode_scanned(config, dtype, vae_params, z,
-                               fb=frame_batch_size)
+    if _scan_decode_enabled() and _SCAN_DECODE_STATE["ok"] is not False:
+        try:
+            out = _decode_scanned(config, dtype, vae_params, z,
+                                  fb=frame_batch_size)
+            out.block_until_ready()
+            _SCAN_DECODE_STATE["ok"] = True
+            return out
+        except jax.errors.JaxRuntimeError as exc:
+            # The whole-strip scan graph is the biggest single compile this
+            # pipeline ships; on the tunneled runtime its remote compile can
+            # fail with compile-memory RESOURCE_EXHAUSTED or an INTERNAL
+            # remote_compile transport error (observed round 4). The
+            # host-loop chunk decode is bit-identical — same chunk
+            # boundaries, same per-chunk GroupNorm stats — so fall back to
+            # it for the process lifetime rather than dying. Anything else
+            # (bad graph, kernel fault) re-raises.
+            msg = str(exc)
+            if not (_is_oom_error(exc) or "remote_compile" in msg):
+                raise
+            import sys
+
+            print(f"scan decode unavailable ({msg.splitlines()[0][:120]}); "
+                  "falling back to host-loop chunk decode",
+                  file=sys.stderr, flush=True)
+            _SCAN_DECODE_STATE["ok"] = False
     t = z.shape[1]
     n_chunks = max(t // frame_batch_size, 1)
     remaining = t % frame_batch_size if t > frame_batch_size else 0

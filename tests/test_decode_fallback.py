@@ -88,3 +88,53 @@ def test_scanned_decode_bitmatches_chunked(monkeypatch):
         assert scanned.shape == chunked.shape, t
         np.testing.assert_array_equal(np.asarray(scanned),
                                       np.asarray(chunked))
+
+
+def test_scan_compile_failure_falls_back_to_host_loop(monkeypatch):
+    """A remote-compile transport failure or compile-OOM on the whole-strip
+    scan graph (observed on the tunneled runtime, round 4) must fall back to
+    the bit-identical host-loop chunk decode for the process lifetime —
+    while genuine kernel bugs still re-raise."""
+    import pytest
+
+    cfg = PipelineConfig.tiny()
+    vae_params = init_vae_params(jax.random.PRNGKey(0), cfg.vae)
+    lat = jax.random.normal(jax.random.PRNGKey(9),
+                            (1, 4, cfg.vae.latent_channels, 8, 12),
+                            jnp.float32)
+    monkeypatch.setenv("AETHER_SCAN_DECODE", "1")
+    monkeypatch.setattr(pipe_mod, "_SCAN_DECODE_STATE", {"ok": None})
+
+    expected = None
+    monkeypatch.delenv("AETHER_SCAN_DECODE", raising=False)
+    monkeypatch.setenv("AETHER_SCAN_DECODE", "0")
+    expected = pipe_mod._decode_pixels(cfg, jnp.float32, vae_params, lat, 2)
+    monkeypatch.setenv("AETHER_SCAN_DECODE", "1")
+
+    calls = {"n": 0}
+
+    def failing_scan(*a, **k):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: http://127.0.0.1:8093/remote_compile: read body: "
+            "response body closed before all bytes were read")
+
+    monkeypatch.setattr(pipe_mod, "_decode_scanned", failing_scan)
+    out = pipe_mod._decode_pixels(cfg, jnp.float32, vae_params, lat, 2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))
+    assert calls["n"] == 1
+    # verdict remembered: scan not retried
+    out2 = pipe_mod._decode_pixels(cfg, jnp.float32, vae_params, lat, 2)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(expected))
+    assert calls["n"] == 1
+
+    # a genuine kernel bug must re-raise, not fall back
+    monkeypatch.setattr(pipe_mod, "_SCAN_DECODE_STATE", {"ok": None})
+
+    def kernel_bug(*a, **k):
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: Mosaic failed to compile (simulated kernel bug)")
+
+    monkeypatch.setattr(pipe_mod, "_decode_scanned", kernel_bug)
+    with pytest.raises(jax.errors.JaxRuntimeError, match="Mosaic"):
+        pipe_mod._decode_pixels(cfg, jnp.float32, vae_params, lat, 2)
