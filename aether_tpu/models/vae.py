@@ -318,25 +318,37 @@ def _conv_tm(
     stride_hw: Tuple[int, int] = (1, 1),
     pad_hw=((0, 0), (0, 0)),
 ) -> jnp.ndarray:
-    """Conv over a temporally-padded T-major stack: one NHWC conv2d per
-    temporal tap, summed. ``x4`` carries ``t`` frames; output carries
-    ``t - (kt - 1)``. Partial sums accumulate in the conv output dtype (bf16
-    activations on TPU — the MXU still accumulates each conv internally in
-    f32), matching the 5-D lowering this replaces."""
+    """Conv over a temporally-padded T-major stack. ``x4`` carries ``t``
+    frames; output carries ``t - (kt - 1)``.
+
+    The kt temporal taps are folded into CHANNELS: the tap views (contiguous
+    axis-0 row blocks) are concatenated channel-minor — the slices fuse into
+    the concat, one materialized write — and contracted by ONE NHWC conv2d
+    with the ``(kh, kw, kt*Ci, Co)`` tap-stacked kernel. A per-tap conv2d
+    loop would materialize each tap slice separately (XLA cannot fuse a
+    slice producer into a convolution operand): 3 near-full-activation
+    copies + 2 bf16 add passes per conv. The folded form also contracts
+    kt*Ci lanes per MXU pass and accumulates ALL taps in the conv's f32
+    accumulator — closer to conv3d numerics than bf16 tap sums."""
     kt = w.shape[0]
     bsz = x4.shape[0] // t
     t_out = t - (kt - 1)
-    out = None
-    for k in range(kt):
-        xt = jax.lax.slice_in_dim(x4, k * bsz, (k + t_out) * bsz, axis=0)
-        o = jax.lax.conv_general_dilated(
-            xt,
-            w[k].astype(x4.dtype),
-            window_strides=stride_hw,
-            padding=pad_hw,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    if kt == 1:
+        xcat, wcat = x4, w[0]
+    else:
+        xcat = jnp.concatenate(
+            [jax.lax.slice_in_dim(x4, k * bsz, (k + t_out) * bsz, axis=0)
+             for k in range(kt)],
+            axis=-1,
         )
-        out = o if out is None else out + o
+        wcat = jnp.concatenate([w[k] for k in range(kt)], axis=2)
+    out = jax.lax.conv_general_dilated(
+        xcat,
+        wcat.astype(x4.dtype),
+        window_strides=stride_hw,
+        padding=pad_hw,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
     if b is not None:
         out = out + b.astype(x4.dtype)
     return out
