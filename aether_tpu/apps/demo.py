@@ -111,11 +111,16 @@ def build_pipeline(args: argparse.Namespace):
     from aether_tpu.config import PipelineConfig
     from aether_tpu.pipeline import AetherPipeline
 
-    cache_dir = os.environ.get("AETHER_JAX_CACHE")
-    if cache_dir:
-        # persistent XLA compile cache: a restarted server/eval skips the
-        # multi-minute per-(task, steps, shape) compiles (bench.py uses the
-        # same mechanism with .jax_cache)
+    cache_dir = os.environ.get(
+        "AETHER_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "aether_tpu",
+                     "jax_cache"),
+    )
+    if cache_dir and cache_dir.lower() not in ("0", "off", "false"):
+        # persistent XLA compile cache, ON by default: a restarted
+        # server/eval skips the multi-minute per-(task, steps, shape)
+        # compiles (bench.py uses the same mechanism with .jax_cache).
+        # AETHER_JAX_CACHE overrides the location; =0 disables.
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
