@@ -100,5 +100,32 @@ def main():
         print(f"encode FAILED: {str(e)[:200]}", flush=True)
 
 
+
+    # LAST: a full-frame OOM can wedge the tunneled runtime, so nothing runs
+    # after this block
+    # untiled full-frame chunked decode: no 64/60-row strip redundancy, no
+    # per-strip cache duplication — worth shipping if the leaner T-major
+    # trunk fits its 1.9x-taller chunk workspace
+    for scan in (False,):
+        os.environ["AETHER_SCAN_DECODE"] = "1" if scan else "0"
+        pl._SCAN_DECODE_STATE["ok"] = None
+        tag = "scan" if scan else "loop"
+        for b, lat in (("b1", lat1), ("b2", lat2)):
+            try:
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    pl._decode_pixels(cfg, dtype, vae_params, lat))
+                print(f"decode-untiled[{tag}] {b} compile+first: "
+                      f"{time.perf_counter()-t0:.1f} s", flush=True)
+                best, ts = timeit(
+                    lambda: pl._decode_pixels(cfg, dtype, vae_params, lat))
+                print(f"decode-untiled[{tag}] {b} warm: {best:.3f} s {ts}",
+                      flush=True)
+            except Exception as e:
+                print(f"decode-untiled[{tag}] {b} FAILED: {str(e)[:200]}",
+                      flush=True)
+
+
+
 if __name__ == "__main__":
     main()
