@@ -69,10 +69,9 @@ def _conv2d_lower_enabled() -> bool:
     around every conv (round-4 decode profile: ~50% of device time in
     copies); the 2D form measured 7.91 -> 7.55 s on the stacked decode.
     Exact to conv3d within bf16 accumulation-order noise."""
-    import os
+    from aether_tpu.utils.env import env_flag
 
-    return os.environ.get("AETHER_CONV2D_LOWER", "1").lower() not in (
-        "0", "false", "off")
+    return env_flag("AETHER_CONV2D_LOWER", True)
 
 
 def _conv3d(
@@ -147,10 +146,9 @@ def _gn_pallas_enabled(shape) -> bool:
     kernel 2.5x slower per decode chunk than the frame-split XLA reduce
     (pallas_call blocks producer fusion and relayouts every norm input);
     the compile-OOM it was built to fix is solved by the frame split."""
-    import os
+    from aether_tpu.utils.env import env_flag
 
-    if os.environ.get("AETHER_GN_PALLAS", "0").lower() not in ("1", "true",
-                                                               "on"):
+    if not env_flag("AETHER_GN_PALLAS", False):
         return False
     from aether_tpu.ops.groupnorm import moments_kernel_supported
 

@@ -43,6 +43,7 @@ import numpy as np
 from aether_tpu.config import PipelineConfig
 from aether_tpu.models.dit import dit_forward
 from aether_tpu.models.rope import prepare_rotary_positional_embeddings
+from aether_tpu.runtime import memgate
 from aether_tpu.schedule.dpm import SamplingPlan, dpm_step, make_sampling_plan
 from aether_tpu.utils.preprocess import preprocess_image_u8, preprocess_video_u8
 
@@ -183,8 +184,11 @@ def _decode_scanned(config, dtype, vae_params, latents_cl, fb=2):
     ``ceil(T/2)``: no per-chunk host->device execute roundtrips (15-30 ms
     each through the tunnel), and XLA schedules the chunk pipeline as one
     program. Workspace stays one-chunk-sized — the scan body is compiled
-    once — so HBM peak matches the chunked path, not the whole-clip one.
-    Opt-in via AETHER_SCAN_DECODE=1 (see :func:`_scan_decode_enabled`).
+    once — so HBM peak is chunk-scale, though measurably above the host
+    loop's (round 5 compile analysis, 32x90 strip: 6.2 GB scanned vs 5.6 GB
+    per host chunk at B=1; 11.8 vs 9.4 GB at B=2). Default-on on
+    accelerators behind the memgate fit check; AETHER_SCAN_DECODE=0 opts
+    out (see :func:`_scan_decode_enabled`).
     """
     from aether_tpu.models.vae import decode_frames
 
@@ -211,26 +215,27 @@ def _decode_scanned(config, dtype, vae_params, latents_cl, fb=2):
     return jnp.concatenate([v0, vs], axis=1)
 
 
+from aether_tpu.utils.env import env_flag as _env_flag
+
+
 def _scan_decode_enabled() -> bool:
     """Decode each strip as ONE jitted scan over 2-latent-frame chunks
     (bit-exact vs the host loop — same chunk boundaries, same per-chunk
     GroupNorm statistics) instead of ~5 chained dispatches.
 
-    Default ON on accelerators: the round-4 on-chip A/B measured the stacked
-    RGB+disparity decode at 6.72 s scanned vs 7.55 s host-chunked (the
-    per-chunk execute roundtrips cost ~25 ms each through the tunnel and XLA
-    pipelines the scanned chunk sequence as one program). Default OFF on CPU
-    (tests compile the host-loop form faster). AETHER_SCAN_DECODE=0/1
-    overrides."""
-    import os
-
-    mode = os.environ.get("AETHER_SCAN_DECODE")
-    if mode is not None:
-        return mode.lower() in ("1", "true", "on")
+    Default ON on accelerators (AETHER_SCAN_DECODE=0 opts out): the round-4
+    on-chip A/B measured the stacked RGB+disparity decode at 6.72 s scanned
+    vs 7.55 s host-chunked (the per-chunk execute roundtrips cost ~25 ms
+    each through the tunnel and XLA pipelines the scanned chunk sequence as
+    one program). On wedge-on-OOM runtimes the scan graph only runs after
+    the memgate compile-probe proves it fits beside the resident params
+    (round 4 shipped it ungated and the driver bench OOM-wedged the chip).
+    Default OFF on CPU (tests compile the host-loop form faster)."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        on_accel = jax.default_backend() not in ("cpu",)
     except Exception:
-        return False
+        on_accel = False
+    return _env_flag("AETHER_SCAN_DECODE", on_accel)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "dtype"))
@@ -651,10 +656,7 @@ def _full_strip_enabled() -> bool:
     trades reference-exact numerics for ~20% decode speed on runtimes where
     an allocation failure is survivable (see :func:`_oom_is_survivable`).
     """
-    import os
-
-    mode = os.environ.get("AETHER_FULL_STRIP_DECODE", "0").lower()
-    return mode in ("1", "true", "on")
+    return _env_flag("AETHER_FULL_STRIP_DECODE", False)
 
 
 def _decode_strip_adaptive(
@@ -665,7 +667,16 @@ def _decode_strip_adaptive(
     frame_batch_size: Optional[int] = 2,
 ) -> jnp.ndarray:
     """Try the whole-clip strip decode once; fall back to chunked on
-    allocation failure and remember the verdict for the process lifetime."""
+    allocation failure and remember the verdict for the process lifetime.
+    On wedge-on-OOM runtimes the verdict comes from the memgate compile
+    probe instead — there an allocation failure is fatal, not catchable."""
+    if (_full_strip_enabled() and _FULL_STRIP_STATE["ok"] is None
+            and memgate.gate_active()):
+        b, t, _, h, w = latents_16.shape
+        z_aval = jax.ShapeDtypeStruct(
+            (b, t, h, w, latents_16.shape[2]), jnp.float32)
+        _FULL_STRIP_STATE["ok"] = memgate.fits(
+            "decode_full", _decode_full, config, dtype, vae_params, z_aval)
     if _full_strip_enabled() and _FULL_STRIP_STATE["ok"] is not False:
         try:
             out = _decode_pixels(config, dtype, vae_params, latents_16, None)
@@ -762,12 +773,53 @@ def _decode_pixels(
     z = jnp.moveaxis(z, 2, -1)  # channels-last
     if frame_batch_size is None:
         return _decode_full(config, dtype, vae_params, z)
-    if _scan_decode_enabled() and _SCAN_DECODE_STATE["ok"] is not False:
+
+    # Wedge-on-OOM runtimes (the tunneled chip): nothing may execute before
+    # its footprint is known to fit beside the resident params. Compile-probe
+    # the candidate graphs (memgate; compile allocates nothing on device) and
+    # pick from the ANALYSIS — the try/except below is then only a guard for
+    # transient compile/transport errors, never a first-OOM "fallback" (on
+    # this runtime the first OOM is fatal; round-4 driver bench post-mortem).
+    if memgate.gate_active():
+        scan_ok = (_scan_decode_enabled()
+                   and _SCAN_DECODE_STATE["ok"] is not False
+                   and memgate.fits("decode_scanned", _decode_scanned,
+                                    config, dtype, vae_params, z,
+                                    frame_batch_size))
+        if not scan_ok:
+            # would the host-loop's biggest chunk fit? (first chunk absorbs
+            # the remainder: it is the largest single program in the loop)
+            t = z.shape[1]
+            first = (t - (max(t // frame_batch_size, 1) - 1)
+                     * frame_batch_size)
+            chunk_ok = memgate.fits(
+                "decode_chunk_first", _decode_chunk, config, dtype,
+                vae_params, jax.ShapeDtypeStruct(
+                    (z.shape[0], first, *z.shape[2:]), z.dtype), None)
+            if not chunk_ok and z.shape[0] > 1:
+                # halve the batch: decode each half serially (bit-identical —
+                # the streams are independent) and concatenate
+                h = z.shape[0] // 2
+                return jnp.concatenate([
+                    _decode_pixels(config, dtype, vae_params,
+                                   latents_16[:h], frame_batch_size),
+                    _decode_pixels(config, dtype, vae_params,
+                                   latents_16[h:], frame_batch_size),
+                ], axis=0)
+        if scan_ok:
+            out = _decode_scanned(config, dtype, vae_params, z,
+                                  fb=frame_batch_size)
+            if _SCAN_DECODE_STATE["ok"] is None:
+                out.block_until_ready()
+                _SCAN_DECODE_STATE["ok"] = True
+            return out
+    elif _scan_decode_enabled() and _SCAN_DECODE_STATE["ok"] is not False:
         try:
             out = _decode_scanned(config, dtype, vae_params, z,
                                   fb=frame_batch_size)
-            out.block_until_ready()
-            _SCAN_DECODE_STATE["ok"] = True
+            if _SCAN_DECODE_STATE["ok"] is None:
+                out.block_until_ready()
+                _SCAN_DECODE_STATE["ok"] = True
             return out
         except jax.errors.JaxRuntimeError as exc:
             # The whole-strip scan graph is the biggest single compile this
@@ -804,12 +856,12 @@ def _decode_pixels(
 
 def _batched_decode_enabled() -> bool:
     """One stacked RGB+disparity decode pass: on by default,
-    AETHER_BATCHED_DECODE=0 restores the two serial passes."""
-    import os
-
-    return os.environ.get("AETHER_BATCHED_DECODE", "1").lower() not in (
-        "0", "false", "off"
-    )
+    AETHER_BATCHED_DECODE=0 restores the two serial passes. On wedge-on-OOM
+    runtimes the stacked batch is additionally subject to the memgate batch
+    split inside :func:`_decode_pixels` (a 2B-batch chunk graph that does
+    not fit beside the resident DiT decomposes into serial B-batch chunks
+    before anything executes)."""
+    return _env_flag("AETHER_BATCHED_DECODE", True)
 
 
 def _is_oom_error(exc: BaseException) -> bool:
@@ -1168,6 +1220,16 @@ class AetherPipeline:
             attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
         self.attn_impl = attn_impl
         self.compute_dtype = compute_dtype
+
+        # register the long-lived device allocations with the memory gate:
+        # on wedge-on-OOM runtimes decode-graph selection must account for
+        # what is resident beside the decode workspace (the round-4 bench
+        # wedge was exactly scan-decode workspace + resident int8 DiT)
+        from aether_tpu.runtime import memgate
+
+        memgate.register_resident("dit_params", self.dit_params)
+        memgate.register_resident("vae_params", self.vae_params)
+        memgate.register_resident("empty_prompt", self.empty_prompt_embeds)
 
     def _wire_modes(self, compact: bool, height: int, width: int):
         """(rgb_mode, disp_mode) for the D2H wire. Compact defaults are

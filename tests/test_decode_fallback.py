@@ -102,11 +102,9 @@ def test_scan_compile_failure_falls_back_to_host_loop(monkeypatch):
     lat = jax.random.normal(jax.random.PRNGKey(9),
                             (1, 4, cfg.vae.latent_channels, 8, 12),
                             jnp.float32)
-    monkeypatch.setenv("AETHER_SCAN_DECODE", "1")
     monkeypatch.setattr(pipe_mod, "_SCAN_DECODE_STATE", {"ok": None})
 
-    expected = None
-    monkeypatch.delenv("AETHER_SCAN_DECODE", raising=False)
+    # reference output from the host-loop path, then switch scan on
     monkeypatch.setenv("AETHER_SCAN_DECODE", "0")
     expected = pipe_mod._decode_pixels(cfg, jnp.float32, vae_params, lat, 2)
     monkeypatch.setenv("AETHER_SCAN_DECODE", "1")

@@ -1,0 +1,161 @@
+"""Memory-gate (aether_tpu.runtime.memgate) unit + wiring tests.
+
+The gate exists for runtimes where an allocation failure wedges the chip
+permanently (BASELINE.md round 1): graph selection must happen from compile
+analysis BEFORE execution. These tests pin the decision logic and the
+pipeline wiring on CPU, where the analysis itself is trivial."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aether_tpu.runtime import memgate
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    saved_memo = dict(memgate._MEMO)
+    saved_res = dict(memgate._RESIDENT)
+    memgate._MEMO.clear()
+    memgate._RESIDENT.clear()
+    yield
+    memgate._MEMO.clear()
+    memgate._MEMO.update(saved_memo)
+    memgate._RESIDENT.clear()
+    memgate._RESIDENT.update(saved_res)
+
+
+def test_gate_inactive_on_cpu():
+    assert memgate.gate_active() is False
+
+
+def test_gate_env_override(monkeypatch):
+    monkeypatch.setenv("AETHER_MEMGATE", "1")
+    assert memgate.gate_active() is True
+    monkeypatch.setenv("AETHER_MEMGATE", "0")
+    assert memgate.gate_active() is False
+
+
+def test_resident_registry_tracks_tree_bytes():
+    tree = {"a": jnp.zeros((4, 4), jnp.float32), "b": jnp.zeros((8,), jnp.int8)}
+    memgate.register_resident("tree", tree)
+    assert memgate.resident_bytes() == 4 * 4 * 4 + 8
+    # re-registering replaces, not accumulates
+    memgate.register_resident("tree", {"a": jnp.zeros((2,), jnp.float32)})
+    assert memgate.resident_bytes() == 8
+    memgate.register_resident("other", 100)
+    assert memgate.resident_bytes() == 108
+
+
+def test_budget_env_override(monkeypatch):
+    monkeypatch.setenv("AETHER_HBM_BUDGET_GB", "2.5")
+    assert memgate.budget_bytes() == int(2.5 * 2**30)
+
+
+def test_fits_compares_footprint_plus_resident_to_budget(monkeypatch):
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.zeros((16,), jnp.float32)
+    fp = memgate.analyzed_footprint("t_fits", f, x)
+    assert fp is not None and fp >= 0
+    monkeypatch.setenv("AETHER_HBM_BUDGET_GB", "1.0")
+    memgate.register_resident("big", 2 * 2**30)
+    assert memgate.fits("t_fits", f, x) is False
+    memgate.register_resident("big", 0)
+    assert memgate.fits("t_fits", f, x) is True
+
+
+def test_failed_compile_counts_as_not_fitting(monkeypatch):
+    class Boom:
+        def lower(self, *a, **k):
+            raise RuntimeError("remote compile helper crash")
+
+    assert memgate.analyzed_footprint("t_boom", Boom()) is None
+    assert memgate.fits("t_boom", Boom()) is False
+    # verdict memoized: second call must not re-raise through a fresh probe
+    assert memgate.fits("t_boom", Boom()) is False
+
+
+def test_fingerprint_distinguishes_shapes_and_knobs(monkeypatch):
+    x16 = jnp.zeros((16,), jnp.float32)
+    x32 = jnp.zeros((32,), jnp.float32)
+    k1 = memgate._fingerprint("t", (x16,), {})
+    k2 = memgate._fingerprint("t", (x32,), {})
+    assert k1 != k2
+    monkeypatch.setenv("AETHER_CONV2D_LOWER", "0")
+    k3 = memgate._fingerprint("t", (x16,), {})
+    assert k3 != k1
+
+
+def test_decode_pixels_batch_split_matches_unsplit(monkeypatch):
+    """When the gate rejects both the scan graph and the full-batch chunk
+    graph, _decode_pixels must split the batch and produce bit-identical
+    output (the streams are independent)."""
+    from aether_tpu.config import PipelineConfig
+    from aether_tpu.models import init_vae_params
+    from aether_tpu.pipeline import aether as A
+
+    cfg = PipelineConfig.tiny()
+    vae_params = init_vae_params(jax.random.PRNGKey(0), cfg.vae,
+                                 dtype=jnp.float32)
+    lat = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (2, 3, cfg.vae.latent_channels, 8, 12), jnp.float32)
+
+    ref = A._decode_pixels(cfg, jnp.float32, vae_params, lat, 2)
+
+    monkeypatch.setattr(A.memgate, "gate_active", lambda: True)
+    monkeypatch.setenv("AETHER_SCAN_DECODE", "1")
+    monkeypatch.setitem(A._SCAN_DECODE_STATE, "ok", None)
+    calls = []
+
+    def fake_fits(tag, fn, *args, **kwargs):
+        calls.append((tag, args))
+        if tag == "decode_scanned":
+            return False
+        # reject the chunk graph only at batch 2 — forcing the split
+        aval = args[3]
+        return aval.shape[0] == 1
+
+    monkeypatch.setattr(A.memgate, "fits", fake_fits)
+    out = A._decode_pixels(cfg, jnp.float32, vae_params, lat, 2)
+    assert any(t == "decode_scanned" for t, _ in calls)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_decode_pixels_gated_scan_runs_when_it_fits(monkeypatch):
+    from aether_tpu.config import PipelineConfig
+    from aether_tpu.models import init_vae_params
+    from aether_tpu.pipeline import aether as A
+
+    cfg = PipelineConfig.tiny()
+    vae_params = init_vae_params(jax.random.PRNGKey(0), cfg.vae,
+                                 dtype=jnp.float32)
+    lat = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, 3, cfg.vae.latent_channels, 8, 12), jnp.float32)
+    ref = A._decode_pixels(cfg, jnp.float32, vae_params, lat, 2)
+
+    monkeypatch.setattr(A.memgate, "gate_active", lambda: True)
+    monkeypatch.setattr(A.memgate, "fits", lambda *a, **k: True)
+    monkeypatch.setenv("AETHER_SCAN_DECODE", "1")
+    monkeypatch.setitem(A._SCAN_DECODE_STATE, "ok", None)
+    out = A._decode_pixels(cfg, jnp.float32, vae_params, lat, 2)
+    assert A._SCAN_DECODE_STATE["ok"] is True
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+
+def test_pipeline_registers_resident_params():
+    from aether_tpu.config import PipelineConfig
+    from aether_tpu.models import init_dit_params, init_vae_params
+    from aether_tpu.pipeline import AetherPipeline
+
+    cfg = PipelineConfig.tiny()
+    key = jax.random.PRNGKey(0)
+    dit = init_dit_params(key, cfg.dit, dtype=jnp.float32)
+    vae = init_vae_params(key, cfg.vae, dtype=jnp.float32)
+    text = np.zeros((1, cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim),
+                    np.float32)
+    AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32)
+    assert memgate.resident_bytes() >= (
+        memgate.tree_device_bytes(dit) + memgate.tree_device_bytes(vae))
