@@ -38,6 +38,8 @@ _LOCK = threading.Lock()
 _MEMO: Dict[str, Optional[int]] = {}
 # resident registry: name -> bytes of long-lived device allocations (params)
 _RESIDENT: Dict[str, int] = {}
+# fingerprints already warned about (log once per graph, not per call)
+_WARNED: set = set()
 
 _HBM_BYTES_BY_KIND = {
     # device_kind -> HBM bytes. v5 lite (v5e) = 16 GB.
@@ -200,10 +202,15 @@ def fits(tag: str, jit_fn, *args, **kwargs) -> bool:
         return False
     ok = fp + resident_bytes() <= budget_bytes()
     if not ok:
-        import sys
+        key = _fingerprint(tag, args, kwargs)
+        with _LOCK:
+            seen = key in _WARNED
+            _WARNED.add(key)
+        if not seen:
+            import sys
 
-        print(f"[memgate] {tag}: footprint {fp / 2**30:.2f} GB + resident "
-              f"{resident_bytes() / 2**30:.2f} GB exceeds budget "
-              f"{budget_bytes() / 2**30:.2f} GB — choosing a smaller graph",
-              file=sys.stderr, flush=True)
+            print(f"[memgate] {tag}: footprint {fp / 2**30:.2f} GB + resident "
+                  f"{resident_bytes() / 2**30:.2f} GB exceeds budget "
+                  f"{budget_bytes() / 2**30:.2f} GB — choosing a smaller graph",
+                  file=sys.stderr, flush=True)
     return ok
