@@ -230,7 +230,8 @@ def init_quantized_dit_params(key: jax.Array, cfg: DiTConfig,
     def qw(shape, fan_in):
         q = jax.random.uniform(next(keys), shape, jnp.float32, -2.0, 2.0
                                ).astype(dtype)
-        q.block_until_ready()
+        if hasattr(q, "block_until_ready"):  # abstract under eval_shape
+            q.block_until_ready()
         s = jnp.full(shape[:-2] + shape[-1:],
                      1.0 / (fan_in**0.5) / 2.0, jnp.float32)
         return {"q": q, "s": s}
