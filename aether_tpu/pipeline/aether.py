@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, Dict, Optional, Tuple, Union
 
 import jax
@@ -1108,11 +1109,29 @@ def _denoise(
 
     total = int(plan.num_steps)
     seg = _denoise_seg_len(total)
+    # Opt-in CFG prefix skip (AETHER_CFG_SKIP_TOL, default off): under the
+    # dynamic-CFG cosine ramp (reference pipeline:879-893) the per-step scale
+    # s_i sits at ~1.0 for the early high-noise steps — there
+    # uncond + s*(cond - uncond) ~= cond, so the uncond stream buys nothing.
+    # Steps in the maximal prefix with |s_i - 1| <= tol run single-stream
+    # (do_cfg=False segments; the scan carry shapes are identical, so
+    # chaining stays exact). LOSSY even at s_i == 1.0 exactly — a + (b - a)
+    # rounds differently than b in f32 — hence opt-in, mirroring the lossy
+    # wire formats. At the prediction default (g=3, 50 steps) tol=1e-3 skips
+    # the first ~40% of steps ~= 20% of denoise FLOPs.
+    n_skip = 0
+    if do_cfg:
+        tol = float(os.environ.get("AETHER_CFG_SKIP_TOL", "0") or 0.0)
+        if tol > 0.0:
+            near_one = np.abs(np.asarray(guidance) - 1.0) <= tol
+            n_skip = int(np.argmin(near_one)) if not near_one.all() else total
     start = 0
     while start < total:
-        n = min(seg, total - start)
+        seg_cfg = do_cfg and start >= n_skip
+        limit = n_skip if (do_cfg and start < n_skip) else total
+        n = min(seg, limit - start)
         latents, old_x0 = _denoise_segment(
-            config, attn_impl, compute_dtype, task, do_cfg, dit_params,
+            config, attn_impl, compute_dtype, task, seg_cfg, dit_params,
             empty_prompt_embeds, condition_latents, plan, guidance, rope_cos,
             rope_sin, key_sde, latents, old_x0, jnp.asarray(start, jnp.int32),
             seg_len=n, act_quant=act_quant, mesh=mesh,
