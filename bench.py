@@ -236,9 +236,27 @@ def main() -> None:
                     pred_steps = 4
                 except Exception:
                     traceback.print_exc(file=sys.stderr)
+        # alternate metric (best-effort): the opt-in CFG prefix skip
+        # (AETHER_CFG_SKIP_TOL — single-stream denoise while the dynamic-CFG
+        # ramp sits at ~1.0). The headline stays the exact CFG pair; this
+        # records what the opt-in buys. Fidelity numbers: BASELINE.md r5.
+        pred_skip_e2e_s = None
+        skip_tol = os.environ.get("AETHER_BENCH_CFG_SKIP", "1e-3")
+        if pred_e2e_s is not None and on_accel and skip_tol not in ("", "0"):
+            try:
+                os.environ["AETHER_CFG_SKIP_TOL"] = skip_tol
+                pred_skip_e2e_s = _pred_once(pred_steps)
+            except Exception:
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+            finally:
+                os.environ.pop("AETHER_CFG_SKIP_TOL", None)
     if mode == "pred":
         print(json.dumps({"_pred": {"pred_e2e_s": pred_e2e_s,
-                                    "pred_steps": pred_steps}}))
+                                    "pred_steps": pred_steps,
+                                    "pred_skip_e2e_s": pred_skip_e2e_s,
+                                    "pred_skip_tol": skip_tol}}))
         return
 
     # device_compute_s: warm on-chip work for one window (vae encode + 4-step
@@ -520,6 +538,9 @@ def _main_with_process_retry() -> int:
         result["pred_steps"] = pred["_pred"]["pred_steps"]
         result["pred_steps_per_sec"] = round(
             result["pred_steps"] / result["pred_e2e_s"], 3)
+        if pred["_pred"].get("pred_skip_e2e_s"):
+            result["pred_skip_e2e_s"] = pred["_pred"]["pred_skip_e2e_s"]
+            result["pred_skip_tol"] = pred["_pred"].get("pred_skip_tol")
     print(json.dumps(result))
     return 0
 

@@ -67,6 +67,15 @@ def main():
 
     warm_transfer_channel()
     cfg = PipelineConfig.aetherv1()
+    # simulate the bench's resident int8 DiT for the memgate so the profiled
+    # decode takes the SHIPPING path (serial B=1 scan strips), not the
+    # standalone-only stacked B=2 graph; SIM_RESIDENT_GB=0 profiles the
+    # stacked graph instead
+    sim_gb = float(os.environ.get("SIM_RESIDENT_GB", "5.61"))
+    if sim_gb > 0:
+        from aether_tpu.runtime import memgate
+
+        memgate.register_resident("simulated_dit", int(sim_gb * 2**30))
     vae_params = init_vae_params(jax.random.PRNGKey(0), cfg.vae,
                                  dtype=jnp.bfloat16)
     for leaf in jax.tree.leaves(vae_params):
