@@ -116,6 +116,15 @@ def dynamic_cfg_schedule(
     1 + g * (1 - cos(pi * ((steps - t)/steps)^5)) / 2  — reference
     ``pipeline:879-893`` uses ``t.item()`` (the 0..999 timestep, not the index),
     making the exponent huge; python float64 math reproduces it exactly.
+
+    Checkpoint-locked QUIRK, measured round 5: with t in [0, 999] and steps=50
+    the base spans [-19, 1], so cos(pi * base^5) oscillates pseudo-randomly
+    and the per-step scale JUMPS around [1, 1+g] instead of ramping (e.g.
+    [1.65, 1.77, 3.99, 3.71, 1.89, ...] at the 50-step prediction default).
+    Consequences: (a) the opt-in CFG prefix skip (AETHER_CFG_SKIP_TOL) never
+    finds a skippable prefix at real configs; (b) this is faithful to the
+    reference — "fixing" the formula would change outputs vs the published
+    checkpoint's sampler.
     """
     out = np.zeros(len(timesteps), dtype=np.float64)
     for i, t in enumerate(timesteps):

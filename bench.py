@@ -238,11 +238,25 @@ def main() -> None:
                     traceback.print_exc(file=sys.stderr)
         # alternate metric (best-effort): the opt-in CFG prefix skip
         # (AETHER_CFG_SKIP_TOL — single-stream denoise while the dynamic-CFG
-        # ramp sits at ~1.0). The headline stays the exact CFG pair; this
-        # records what the opt-in buys. Fidelity numbers: BASELINE.md r5.
+        # scale sits at ~1.0). Measured round 5: at the REAL 50-step ramp the
+        # reference's quirky t.item()-based cosine OSCILLATES pseudo-randomly
+        # in [1, 1+g] (frac spans [-19, 1] before the ^5), so the skippable
+        # prefix is EMPTY — the variant is only timed when the schedule
+        # actually yields a skippable prefix, else it would re-run the
+        # identical graph (confirmed bit-identical outputs on-chip).
         pred_skip_e2e_s = None
         skip_tol = os.environ.get("AETHER_BENCH_CFG_SKIP", "1e-3")
-        if pred_e2e_s is not None and on_accel and skip_tol not in ("", "0"):
+        n_skip = 0
+        if skip_tol not in ("", "0"):
+            from aether_tpu.pipeline.aether import (
+                dynamic_cfg_schedule, make_sampling_plan as _msp)
+
+            _plan = _msp(cfg.scheduler, pred_steps)
+            _g = dynamic_cfg_schedule(np.asarray(_plan.timesteps), pred_steps,
+                                      3.0)
+            _near = np.abs(_g - 1.0) <= float(skip_tol)
+            n_skip = int(np.argmin(_near)) if not _near.all() else pred_steps
+        if pred_e2e_s is not None and on_accel and n_skip > 0:
             try:
                 os.environ["AETHER_CFG_SKIP_TOL"] = skip_tol
                 pred_skip_e2e_s = _pred_once(pred_steps)
