@@ -45,3 +45,46 @@ def _assert_cpu_backend():
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# slow-test split (VERDICT r4 #8): the integration-heavy tests below each run
+# >10 s on the 1-core CI host and together account for ~60% of suite wall
+# time. `pytest -m "not slow"` is the fast default iteration profile (~6 min
+# here); the full suite (including these) is the CI/pre-merge profile. The
+# set lives HERE, not as per-file decorators, so the split stays auditable in
+# one place; durations source: /tmp/suite_durations.log, 2026-08-20.
+# ---------------------------------------------------------------------------
+_SLOW_TESTS = {
+    "test_fsdp.py::test_fsdp_checkpoint_restores_across_topologies",
+    "test_fsdp.py::test_fsdp_train_matches_replicated",
+    "test_decode_fallback.py::test_scanned_decode_bitmatches_chunked",
+    "test_decode_fallback.py::test_stacked_decode_falls_back_to_serial",
+    "test_models.py::test_vae_chunked_shapes_match_full",
+    "test_sharded_inference.py::test_batch_reconstruct_pads_short_chunk_to_dp",
+    "test_models.py::test_stacked_batch_decode_equals_serial_decodes",
+    "test_models.py::test_vae_encode_decode_shapes",
+    "test_train.py::test_train_cli_on_real_latents",
+    "test_sharded_inference.py::test_batch_reconstruct_matches_shapes_and_runs_on_mesh",
+    "test_pipeline_parallel.py::test_pp_train_step_matches_unsharded",
+    "test_fullwidth_parity.py::test_fullwidth_block_golden",
+    "test_sharded_inference.py::test_sp_pipeline_runs",
+    "test_sharded_inference.py::test_sharded_reconstruction_runs",
+    "test_models.py::test_vae_posterior_sampling",
+    "test_pipeline_parallel.py::test_pp_grads_match_default_scan",
+    "test_cfg_skip.py::test_cfg_skip_prefix_matches_full_cfg",
+    "test_sharded_inference.py::test_sharded_matches_unsharded",
+    "test_pipeline_parallel.py::test_pp_trainer_matches_unsharded_trainer",
+    "test_sharded_inference.py::test_tp_flash_attention_matches_unsharded",
+    "test_attn_prologue.py::test_dit_forward_fused_matches_unfused",
+    "test_train.py::test_trainer_resume_is_exact_continuation",
+    "test_models.py::test_vae_single_frame",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        # nodeid like "tests/test_x.py::test_y[param]" -> "test_x.py::test_y"
+        base = item.nodeid.split("/")[-1].split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
