@@ -159,3 +159,47 @@ def test_pipeline_registers_resident_params():
     AetherPipeline(cfg, dit, vae, text, compute_dtype=jnp.float32)
     assert memgate.resident_bytes() >= (
         memgate.tree_device_bytes(dit) + memgate.tree_device_bytes(vae))
+
+
+def test_decode_rgb_and_disparity_gated_split_matches_stacked(monkeypatch):
+    """The stacked rgb+disparity decode must produce identical streams when
+    the gate rejects the 2B graphs and splits (the shipping configuration on
+    the 16 GB chip: serial B=1 beside the resident DiT)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aether_tpu.config import PipelineConfig
+    from aether_tpu.models import init_vae_params
+    from aether_tpu.pipeline import aether as A
+
+    cfg = PipelineConfig.tiny()
+    vae_params = init_vae_params(jax.random.PRNGKey(0), cfg.vae,
+                                 dtype=jnp.float32)
+    lat_c = cfg.vae.latent_channels
+    lats = jax.random.normal(jax.random.PRNGKey(2),
+                             (1, 3, 2 * lat_c + 24, 8, 12), jnp.float32)
+
+    rgb_ref, disp_ref = A._decode_rgb_and_disparity(
+        cfg, jnp.float32, vae_params, lats, tiling=False)
+
+    monkeypatch.setattr(A.memgate, "gate_active", lambda: True)
+
+    def fits_b1_only(tag, fn, *args, **kwargs):
+        if tag == "decode_scanned":
+            aval = args[3]
+        elif tag == "decode_chunk_first":
+            aval = args[3]
+        else:
+            return True
+        return aval.shape[0] == 1
+
+    monkeypatch.setattr(A.memgate, "fits", fits_b1_only)
+    monkeypatch.setenv("AETHER_SCAN_DECODE", "1")
+    monkeypatch.setitem(A._SCAN_DECODE_STATE, "ok", None)
+    rgb, disp = A._decode_rgb_and_disparity(
+        cfg, jnp.float32, vae_params, lats, tiling=False)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(disp_ref),
+                               atol=1e-5)
