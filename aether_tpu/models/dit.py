@@ -484,6 +484,25 @@ def use_fused_qkv_default() -> bool:
     return os.environ.get("AETHER_ATTN_FUSED", "1") == "1"
 
 
+def block_scan_unroll_default() -> int:
+    """Env-gated unroll factor for the 42-block ``lax.scan``
+    (``AETHER_BLOCK_UNROLL``, default 1).
+
+    The round-5 DiT-step trace (``scripts/profile_dit_step.py``) measured the
+    in-graph int8 matmul fusions at 161-188 TF/s vs 271 TF/s for the SAME
+    shapes isolated (``scripts/bench_w8a8_matmul.py``) — the gap is the
+    per-iteration weight dynamic-slices serializing with compute inside the
+    scan body. Unrolling lets XLA prefetch iteration i+1's weight slices
+    under iteration i's compute. Trace-time knob: jitted callers resolve it
+    outside jit (the pipeline does)."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("AETHER_BLOCK_UNROLL", "1")))
+    except ValueError:
+        return 1
+
+
 def _qkv_fused_projection(x, attn_p, a8: bool, shards: int = 1):
     """q/k/v projections as one wide matmul; returns (xq, xk, xv), or the
     un-split fused activation when ``shards > 1``.
@@ -930,6 +949,7 @@ def dit_forward(
     pv_int8: Optional[bool] = None,
     fused_qkv: Optional[bool] = None,
     block_scan=None,
+    block_unroll: Optional[int] = None,
 ) -> jnp.ndarray:
     """Denoiser forward.
 
@@ -1071,10 +1091,13 @@ def dit_forward(
         )
         block_outs = None
     else:
+        if block_unroll is None:
+            block_unroll = block_scan_unroll_default()
         (video_tokens, text_tokens), block_outs = jax.lax.scan(
             lambda c, bp: scanned_body(c, bp, temb),
             (video_tokens, text_tokens),
             params["blocks"],
+            unroll=block_unroll,
         )
 
     # 4. final norm over the joint stream, AdaLN on video part, project, unpatchify

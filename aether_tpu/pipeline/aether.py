@@ -947,7 +947,7 @@ def _decode_rgb_and_disparity(
     jax.jit,
     static_argnames=("config", "attn_impl", "compute_dtype", "task", "do_cfg",
                      "seg_len", "act_quant", "mesh", "broadcast_noise",
-                     "fixed_max", "qk_int8"),
+                     "fixed_max", "qk_int8", "block_unroll"),
 )
 def _denoise_segment(
     config: PipelineConfig,
@@ -972,6 +972,7 @@ def _denoise_segment(
     broadcast_noise: bool = False,
     fixed_max: bool = False,
     qk_int8: bool = False,
+    block_unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One jitted segment of the denoise scan: steps [step_start,
     step_start + seg_len). All plan/guidance/SDE-key indexing uses ABSOLUTE
@@ -1034,6 +1035,7 @@ def _denoise_segment(
             dit_params, cfg.dit, model_in, text, t_batch,
             rope_cos, rope_sin, attn_impl=attn_impl, act_quant=act_quant,
             mesh=mesh, fixed_max=fixed_max, qk_int8=qk_int8,
+            block_unroll=block_unroll,
         ).astype(jnp.float32))
         if do_cfg:
             uncond_pred, cond_pred = jnp.split(noise_pred, 2, axis=0)
@@ -1091,6 +1093,7 @@ def _denoise(
     broadcast_noise: bool = False,
     fixed_max: bool = False,
     qk_int8: bool = False,
+    block_unroll: int = 1,
 ) -> jnp.ndarray:
     """Denoise driver: init noise + the scan in bounded jitted segments.
 
@@ -1145,7 +1148,7 @@ def _denoise(
             rope_sin, key_sde, latents, old_x0, jnp.asarray(start, jnp.int32),
             seg_len=n, act_quant=act_quant, mesh=mesh,
             broadcast_noise=broadcast_noise, fixed_max=fixed_max,
-            qk_int8=qk_int8,
+            qk_int8=qk_int8, block_unroll=block_unroll,
         )
         start += n
         # live sub-stage progress for front-ends: only when someone is
@@ -1439,6 +1442,7 @@ class AetherPipeline:
         # NOTE: _denoise dispatches asynchronously — the timer records enqueue
         # + any compile, not device latency; listeners use it as a stage marker
         from aether_tpu.models.dit import (
+            block_scan_unroll_default,
             use_fixed_max_default,
             use_qk_int8_default,
         )
@@ -1452,6 +1456,7 @@ class AetherPipeline:
                 act_quant=self.act_quant, mesh=self.mesh,
                 fixed_max=use_fixed_max_default(),
                 qk_int8=use_qk_int8_default() and use_fixed_max_default(),
+                block_unroll=block_scan_unroll_default(),
             )
 
         # ---- stage 3: chunked VAE decode + output transforms ----
@@ -1619,6 +1624,7 @@ class AetherPipeline:
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
         with mesh_ctx:
             from aether_tpu.models.dit import (
+                block_scan_unroll_default,
                 use_fixed_max_default,
                 use_qk_int8_default,
             )
@@ -1631,6 +1637,7 @@ class AetherPipeline:
                 act_quant=self.act_quant, mesh=self.mesh,
                 broadcast_noise=True, fixed_max=use_fixed_max_default(),
                 qk_int8=use_qk_int8_default() and use_fixed_max_default(),
+                block_unroll=block_scan_unroll_default(),
             )
 
         lat_c = cfg.vae.latent_channels

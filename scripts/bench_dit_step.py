@@ -60,12 +60,22 @@ def main():
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
     args = (params, hidden, text, timestep, cos, sin)
 
-    for impl in ["flash", "identity", "norope"]:
+    for impl in ["flash", "identity", "nokernel", "norope"]:
         if impl == "identity":
-            # monkey-patch attention to identity: isolates linears+elementwise
+            # bypass the WHOLE attention path (prologue+kernel+epilogue):
+            # isolates linears+elementwise. The shipping path is the fused
+            # prologue (AETHER_ATTN_FUSED default-on), whose seam is
+            # attn_prologue.fused_joint_attention — patching
+            # dit.flash_attention alone no longer ablates anything (the
+            # round-4 version of this bench measured flash==identity for
+            # exactly that reason).
             import aether_tpu.models.dit as dit_mod
+            import aether_tpu.ops.attn_prologue as prol_mod
             orig = dit_mod.flash_attention
+            orig_fused = prol_mod.fused_joint_attention
             dit_mod.flash_attention = lambda q, k, v, **kw: v
+            prol_mod.fused_joint_attention = (
+                lambda xq, xk, xv, *a, **kw: xv)
             fn = jax.jit(functools.partial(
                 dit_forward, cfg=cfg, attn_impl="flash"),
                 static_argnames=())
@@ -75,6 +85,25 @@ def main():
                     rope_cos=c, rope_sin=s), args)
             finally:
                 dit_mod.flash_attention = orig
+                prol_mod.fused_joint_attention = orig_fused
+        elif impl == "nokernel":
+            # prologue + epilogue run, flash kernel bypassed (returns the
+            # packed v lanes): flash - nokernel = pure kernel time in-graph
+            import aether_tpu.ops.attn_prologue as prol_mod
+            orig_prepacked = prol_mod.flash_attention_prepacked
+
+            def _bypass(q, k, v_ext, *, dim, out_dtype, **kw):
+                return v_ext[:, :, :dim].astype(out_dtype)
+
+            prol_mod.flash_attention_prepacked = _bypass
+            fn = jax.jit(functools.partial(
+                dit_forward, cfg=cfg, attn_impl="flash"))
+            try:
+                ms = timeit(lambda p, h, t, ts, c, s: fn(
+                    p, hidden_states=h, encoder_hidden_states=t, timestep=ts,
+                    rope_cos=c, rope_sin=s), args)
+            finally:
+                prol_mod.flash_attention_prepacked = orig_prepacked
         elif impl == "norope":
             fn = jax.jit(functools.partial(
                 dit_forward, cfg=cfg, attn_impl="flash"))
