@@ -64,6 +64,25 @@ def test_dit_forward_shapes():
     assert jnp.isfinite(out).all()
 
 
+def test_dit_block_unroll_equivalence():
+    """AETHER_BLOCK_UNROLL only changes the scan's loop structure — outputs
+    must match the unroll=1 default to float tolerance (on-chip A/B in
+    BASELINE.md round 5 measured drift <= 2e-6 at full size)."""
+    cfg = DiTConfig.tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    b, f, h, w = 1, 2, 4, 4
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (b, f, cfg.in_channels, h, w))
+    text = jax.random.normal(jax.random.PRNGKey(2), (b, 4, cfg.text_embed_dim))
+    outs = [
+        dit_forward(params, cfg, hidden, text, jnp.array([999]),
+                    attn_impl="xla", block_unroll=u)
+        for u in (1, 2, 3)
+    ]
+    for other in outs[1:]:
+        np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(other),
+                                   atol=1e-5)
+
+
 def test_dit_cfg_batch_and_jit():
     cfg = DiTConfig.tiny()
     params = init_dit_params(jax.random.PRNGKey(0), cfg)
