@@ -7,6 +7,7 @@ resident). The fallback is the reference's own serial order
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 import aether_tpu.pipeline.aether as pipe_mod
@@ -44,6 +45,7 @@ def test_stacked_decode_falls_back_to_serial(monkeypatch):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stacked_decode_reraises_non_oom(monkeypatch):
     """Only HBM-exhaustion-shaped failures may trigger the serial fallback;
     a genuine kernel/runtime bug would fail identically in the serial
@@ -90,6 +92,7 @@ def test_scanned_decode_bitmatches_chunked(monkeypatch):
                                       np.asarray(chunked))
 
 
+@pytest.mark.slow
 def test_scan_compile_failure_falls_back_to_host_loop(monkeypatch):
     """A remote-compile transport failure or compile-OOM on the whole-strip
     scan graph (observed on the tunneled runtime, round 4) must fall back to
