@@ -59,6 +59,8 @@ _SLOW_TESTS = {
     "test_fsdp.py::test_fsdp_checkpoint_restores_across_topologies",
     "test_fsdp.py::test_fsdp_train_matches_replicated",
     "test_decode_fallback.py::test_scanned_decode_bitmatches_chunked",
+    "test_decode_fallback.py::test_stacked_decode_reraises_non_oom",
+    "test_decode_fallback.py::test_scan_compile_failure_falls_back_to_host_loop",
     "test_decode_fallback.py::test_stacked_decode_falls_back_to_serial",
     "test_models.py::test_vae_chunked_shapes_match_full",
     "test_sharded_inference.py::test_batch_reconstruct_pads_short_chunk_to_dp",

@@ -45,13 +45,11 @@ def test_stacked_decode_falls_back_to_serial(monkeypatch):
                                atol=1e-5)
 
 
-@pytest.mark.slow
 def test_stacked_decode_reraises_non_oom(monkeypatch):
     """Only HBM-exhaustion-shaped failures may trigger the serial fallback;
     a genuine kernel/runtime bug would fail identically in the serial
     decodes and the fallback would just bury the root cause (advisor
     finding, round 3)."""
-    import pytest
 
     cfg = PipelineConfig.tiny()
     vae_params = init_vae_params(jax.random.PRNGKey(0), cfg.vae)
@@ -92,13 +90,11 @@ def test_scanned_decode_bitmatches_chunked(monkeypatch):
                                       np.asarray(chunked))
 
 
-@pytest.mark.slow
 def test_scan_compile_failure_falls_back_to_host_loop(monkeypatch):
     """A remote-compile transport failure or compile-OOM on the whole-strip
     scan graph (observed on the tunneled runtime, round 4) must fall back to
     the bit-identical host-loop chunk decode for the process lifetime —
     while genuine kernel bugs still re-raise."""
-    import pytest
 
     cfg = PipelineConfig.tiny()
     vae_params = init_vae_params(jax.random.PRNGKey(0), cfg.vae)
