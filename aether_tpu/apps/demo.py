@@ -65,9 +65,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Converted orbax/npz checkpoint directory "
                         "(dit.npz / vae.npz / text_embeds.npy).")
     p.add_argument("--random-init", dest="random_init", type=str, default=None,
-                   choices=["tiny", "aetherv1", "aetherv1-fp8"],
+                   choices=["tiny", "aetherv1", "aetherv1-fp8",
+                            "aetherv1-int8"],
                    help="Skip checkpoint loading; random weights (smoke runs; "
-                        "-fp8 uses the quantized layout for 16 GB chips).")
+                        "-fp8/-int8 use the quantized layout for 16 GB chips; "
+                        "-int8 adds dynamic activation quant = the bench "
+                        "deployment config).")
     p.add_argument("--config", type=str, default="aetherv1",
                    choices=["aetherv1", "tiny"],
                    help="Model topology of --checkpoint.")
@@ -145,10 +148,19 @@ def build_pipeline(args: argparse.Namespace):
         cfg = (PipelineConfig.tiny() if args.random_init == "tiny"
                else PipelineConfig.aetherv1())
         key = jax.random.PRNGKey(0)
-        if args.random_init == "aetherv1-fp8":
+        act_quant = False
+        if args.random_init in ("aetherv1-fp8", "aetherv1-int8"):
             from aether_tpu.models.dit import init_quantized_dit_params
 
-            dit_params = init_quantized_dit_params(key, cfg.dit)
+            # -int8 is the bench/deployment configuration (int8 weights +
+            # dynamic int8 activations — 2x MXU peak, 9x lower output error
+            # than fp8; BASELINE.md quant gate), graph-identical to bench.py
+            # so its persistent compile-cache entries are reused
+            dit_params = init_quantized_dit_params(
+                key, cfg.dit,
+                dtype=jnp.int8 if args.random_init == "aetherv1-int8"
+                else None)
+            act_quant = args.random_init == "aetherv1-int8"
         else:
             dit_params = init_dit_params(key, cfg.dit, dtype=dtype)
         vae_params = init_vae_params(jax.random.fold_in(key, 1), cfg.vae,
@@ -158,6 +170,7 @@ def build_pipeline(args: argparse.Namespace):
         )
         return AetherPipeline(cfg, dit_params, vae_params, text,
                               compute_dtype=dtype, mesh=mesh,
+                              act_quant=act_quant,
                               wire_rgb=getattr(args, "wire_rgb", None),
                               wire_input=getattr(args, "wire_input", "u8"),
                               wire_disparity=getattr(args, "wire_disparity",
