@@ -158,22 +158,54 @@ def _fingerprint(tag: str, args, kwargs) -> str:
     return f"{tag}-{h}"
 
 
+# Faults that indicate the DEVICE CLIENT is broken (remote worker crash /
+# lost tunnel), not that the probed graph can't compile. Observed 2026-08-20:
+# a worker crash during a compile probe was persisted as a permanent
+# "compile_failed" verdict, demoting a perfectly good graph in every later
+# process — and the process then limped on with a dead client until an
+# unrelated op produced a cryptic failure. These must fail FAST and must
+# never be persisted.
+_TRANSIENT_MARKERS = (
+    "unavailable",
+    "worker process crashed",
+    "socket closed",
+    "connection reset",
+)
+
+# verdict-file marker for deterministic compile failures (the old schema
+# stored JSON null, which could not be told apart from a transient fault;
+# legacy nulls are now treated as absent so one bad run cannot poison the
+# cache forever)
+_COMPILE_FAILED = "compile_failed"
+
+
+def _is_transient_infra_error(exc: BaseException) -> bool:
+    msg = str(exc).lower()
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
 def analyzed_footprint(tag: str, jit_fn, *args, **kwargs) -> Optional[int]:
     """temp+output bytes of the compiled program, or None if the compile
-    failed (remote compile-helper crash / compile-OOM — treat as unusable).
+    failed deterministically (remote compile-helper crash on huge buffer
+    assignments / compile-OOM — treat as unusable).
 
     Compile-only: nothing is allocated on device. The compiled binary lands
     in JAX's persistent compilation cache, so the later real call pays only
     deserialization; a verdict file additionally persists the byte count (and
-    compile failures, which the XLA cache cannot cache) across processes.
+    deterministic compile failures, which the XLA cache cannot cache) across
+    processes. Transient infra faults (worker crash, lost connection) RAISE
+    instead — the client is dead and the caller must restart the process —
+    and are never persisted, so the next run re-probes.
     """
     key = _fingerprint(tag, args, kwargs)
     with _LOCK:
         if key in _MEMO:
             return _MEMO[key]
     verdicts = _load_verdicts()
-    if key in verdicts:
+    if key in verdicts and verdicts[key] is not None:
         val = verdicts[key]
+        if val == _COMPILE_FAILED:
+            val = None
         with _LOCK:
             _MEMO[key] = val
         return val
@@ -182,6 +214,14 @@ def analyzed_footprint(tag: str, jit_fn, *args, **kwargs) -> Optional[int]:
         ma = compiled.memory_analysis()
         val: Optional[int] = int(ma.temp_size_in_bytes + ma.output_size_in_bytes)
     except Exception as exc:  # remote compile helper crash, compile-OOM, ...
+        if _is_transient_infra_error(exc):
+            raise RuntimeError(
+                f"memgate compile probe for '{tag}' died on a transient "
+                "runtime fault (TPU worker crash / lost connection) — the "
+                "device client is no longer usable; restart the process. "
+                "The verdict is NOT persisted, so the next run re-probes "
+                "this graph."
+            ) from exc
         import sys
 
         print(f"[memgate] compile probe failed for {tag}: "
@@ -190,7 +230,7 @@ def analyzed_footprint(tag: str, jit_fn, *args, **kwargs) -> Optional[int]:
         val = None
     with _LOCK:
         _MEMO[key] = val
-    _store_verdict(key, val)
+    _store_verdict(key, _COMPILE_FAILED if val is None else val)
     return val
 
 

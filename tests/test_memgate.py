@@ -76,6 +76,64 @@ def test_failed_compile_counts_as_not_fitting(monkeypatch):
     assert memgate.fits("t_boom", Boom()) is False
 
 
+def test_transient_infra_fault_raises_and_is_not_persisted(monkeypatch,
+                                                           tmp_path):
+    """A worker crash during the probe means the device client is dead:
+    the gate must fail fast with guidance (not demote the graph) and must
+    NOT write a verdict — one infra flake may not poison later runs
+    (observed live 2026-08-20: a crashed probe stored null and every later
+    process skipped a perfectly good graph)."""
+    monkeypatch.setattr(memgate, "_verdict_path",
+                        lambda: str(tmp_path / "verdicts.json"))
+
+    class WorkerDead:
+        def lower(self, *a, **k):
+            raise RuntimeError(
+                "UNAVAILABLE: TPU worker process crashed or restarted")
+
+    with pytest.raises(RuntimeError, match="restart the process"):
+        memgate.analyzed_footprint("t_dead", WorkerDead())
+    assert "t_dead" not in {k.split("-")[0] for k in memgate._MEMO}
+    verdicts = memgate._load_verdicts()
+    assert not any(k.startswith("t_dead") for k in verdicts)
+
+
+def test_deterministic_compile_failure_is_persisted_as_marker(monkeypatch,
+                                                              tmp_path):
+    monkeypatch.setattr(memgate, "_verdict_path",
+                        lambda: str(tmp_path / "verdicts.json"))
+
+    class Boom:
+        def lower(self, *a, **k):
+            raise RuntimeError("remote compile helper crash")
+
+    assert memgate.analyzed_footprint("t_detfail", Boom()) is None
+    verdicts = memgate._load_verdicts()
+    key = [k for k in verdicts if k.startswith("t_detfail")]
+    assert key and verdicts[key[0]] == "compile_failed"
+    # a fresh process (cleared memo) maps the marker back to None
+    memgate._MEMO.clear()
+    assert memgate.analyzed_footprint("t_detfail", Boom) is None
+
+
+def test_legacy_null_verdict_triggers_reprobe(monkeypatch, tmp_path):
+    """Old-schema null verdicts (transient faults persisted by the previous
+    code) must be treated as absent: the graph gets re-probed."""
+    import json
+    import os
+
+    monkeypatch.setattr(memgate, "_verdict_path",
+                        lambda: str(tmp_path / "verdicts.json"))
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    key = memgate._fingerprint("t_legacy", (x,), {})
+    os.makedirs(tmp_path, exist_ok=True)
+    with open(memgate._verdict_path(), "w") as fh:
+        json.dump({key: None}, fh)
+    fp = memgate.analyzed_footprint("t_legacy", f, x)
+    assert fp is not None and fp >= 0  # re-probed, not trusted as failed
+
+
 def test_fingerprint_distinguishes_shapes_and_knobs(monkeypatch):
     x16 = jnp.zeros((16,), jnp.float32)
     x32 = jnp.zeros((32,), jnp.float32)
