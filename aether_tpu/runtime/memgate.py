@@ -158,54 +158,57 @@ def _fingerprint(tag: str, args, kwargs) -> str:
     return f"{tag}-{h}"
 
 
-# Faults that indicate the DEVICE CLIENT is broken (remote worker crash /
-# lost tunnel), not that the probed graph can't compile. Observed 2026-08-20:
-# a worker crash during a compile probe was persisted as a permanent
-# "compile_failed" verdict, demoting a perfectly good graph in every later
-# process — and the process then limped on with a dead client until an
-# unrelated op produced a cryptic failure. These must fail FAST and must
-# never be persisted.
-_TRANSIENT_MARKERS = (
-    "unavailable",
-    "worker process crashed",
-    "socket closed",
-    "connection reset",
-)
+def _is_dead_client_error(exc: BaseException) -> bool:
+    """True when the fault means the DEVICE CLIENT is broken (remote worker
+    crash / lost tunnel), not that the probed graph can't compile.
 
-# verdict-file marker for deterministic compile failures (the old schema
-# stored JSON null, which could not be told apart from a transient fault;
-# legacy nulls are now treated as absent so one bad run cannot poison the
-# cache forever)
-_COMPILE_FAILED = "compile_failed"
-
-
-def _is_transient_infra_error(exc: BaseException) -> bool:
-    msg = str(exc).lower()
-    return any(m in msg for m in _TRANSIENT_MARKERS)
+    Observed live 2026-08-20: a worker crash during a compile probe was
+    persisted as a permanent failure verdict, demoting a perfectly good graph
+    in every later process — and the process then limped on with a dead
+    client until an unrelated op produced a cryptic failure. The whole
+    exception chain is inspected (JAX wraps transport errors), and bare
+    UNAVAILABLE counts only when it is NOT the remote compile helper dying on
+    an oversized buffer assignment (those carry 'remote_compile' and are a
+    property of the graph, not the client — the process can and does continue
+    by choosing a smaller graph)."""
+    seen = set()
+    e: Optional[BaseException] = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        msg = str(e).lower()
+        if "worker process crashed" in msg:
+            return True
+        if "unavailable" in msg and "remote_compile" not in msg:
+            return True
+        e = e.__cause__ or e.__context__
+    return False
 
 
 def analyzed_footprint(tag: str, jit_fn, *args, **kwargs) -> Optional[int]:
     """temp+output bytes of the compiled program, or None if the compile
-    failed deterministically (remote compile-helper crash on huge buffer
-    assignments / compile-OOM — treat as unusable).
+    probe failed (remote compile-helper crash on huge buffer assignments /
+    compile-OOM — treat as unusable THIS process).
 
     Compile-only: nothing is allocated on device. The compiled binary lands
     in JAX's persistent compilation cache, so the later real call pays only
-    deserialization; a verdict file additionally persists the byte count (and
-    deterministic compile failures, which the XLA cache cannot cache) across
-    processes. Transient infra faults (worker crash, lost connection) RAISE
-    instead — the client is dead and the caller must restart the process —
-    and are never persisted, so the next run re-probes.
+    deserialization; a verdict file additionally persists successful byte
+    counts across processes. Failures are deliberately NOT persisted — a
+    transient fault must not demote a good graph forever; a deterministic
+    compile failure just re-probes next process (seconds, and rare). Faults
+    that mean the device client itself is dead (worker crash, lost tunnel)
+    RAISE instead: the caller must restart the process, and limping on only
+    defers the failure to a more cryptic place.
     """
     key = _fingerprint(tag, args, kwargs)
     with _LOCK:
         if key in _MEMO:
             return _MEMO[key]
     verdicts = _load_verdicts()
-    if key in verdicts and verdicts[key] is not None:
+    # Only positive (int) verdicts are trusted from disk; legacy schemas
+    # stored failures as null/"compile_failed" — treat those as absent so
+    # one bad run cannot poison the cache forever.
+    if isinstance(verdicts.get(key), int):
         val = verdicts[key]
-        if val == _COMPILE_FAILED:
-            val = None
         with _LOCK:
             _MEMO[key] = val
         return val
@@ -214,13 +217,12 @@ def analyzed_footprint(tag: str, jit_fn, *args, **kwargs) -> Optional[int]:
         ma = compiled.memory_analysis()
         val: Optional[int] = int(ma.temp_size_in_bytes + ma.output_size_in_bytes)
     except Exception as exc:  # remote compile helper crash, compile-OOM, ...
-        if _is_transient_infra_error(exc):
+        if _is_dead_client_error(exc):
             raise RuntimeError(
-                f"memgate compile probe for '{tag}' died on a transient "
-                "runtime fault (TPU worker crash / lost connection) — the "
-                "device client is no longer usable; restart the process. "
-                "The verdict is NOT persisted, so the next run re-probes "
-                "this graph."
+                f"memgate compile probe for '{tag}' died on a runtime fault "
+                "(TPU worker crash / lost connection) — the device client is "
+                "no longer usable; restart the process. The verdict is NOT "
+                "persisted, so the next run re-probes this graph."
             ) from exc
         import sys
 
@@ -230,7 +232,8 @@ def analyzed_footprint(tag: str, jit_fn, *args, **kwargs) -> Optional[int]:
         val = None
     with _LOCK:
         _MEMO[key] = val
-    _store_verdict(key, _COMPILE_FAILED if val is None else val)
+    if val is not None:
+        _store_verdict(key, val)
     return val
 
 

@@ -125,7 +125,7 @@ def write_mjpeg_mp4(
 
     def desc(tag: int, payload: bytes) -> bytes:
         # MPEG-4 systems expandable length: minimal-byte base-128 encoding
-        n, size = len(payload), b""
+        n = len(payload)
         size = bytes([n & 0x7F])
         n >>= 7
         while n:
@@ -139,7 +139,7 @@ def write_mjpeg_mp4(
     # --- moov ---------------------------------------------------------------
     mvhd = full(b"mvhd", 0, 0, struct.pack(
         ">IIIII", 0, 0, 1000, t * 1000 // fps, 0x00010000)
-        + struct.pack(">H", 0x0100) + b"\x00" * 12
+        + struct.pack(">H", 0x0100) + b"\x00" * 10  # reserved: 2 + 4*2
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + b"\x00" * 24 + struct.pack(">I", 2))  # next track id
     tkhd = full(b"tkhd", 0, 3, struct.pack(

@@ -42,7 +42,7 @@ def classify(name: str) -> str:
         if "prologue" in low or "qkv" in low:
             return "pallas:prologue"
         return "pallas:flash"
-    if "dot" in head or "dot" in low.split(" = ")[0]:
+    if "dot" in head:
         return "matmul"
     if "conv" in head:
         return "conv"

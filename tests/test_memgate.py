@@ -98,8 +98,10 @@ def test_transient_infra_fault_raises_and_is_not_persisted(monkeypatch,
     assert not any(k.startswith("t_dead") for k in verdicts)
 
 
-def test_deterministic_compile_failure_is_persisted_as_marker(monkeypatch,
-                                                              tmp_path):
+def test_compile_failures_are_never_persisted(monkeypatch, tmp_path):
+    """Probe failures stay in-process only: a transient fault must not
+    demote a good graph forever, and a deterministic failure just re-probes
+    next process. Only positive byte counts reach the verdict file."""
     monkeypatch.setattr(memgate, "_verdict_path",
                         lambda: str(tmp_path / "verdicts.json"))
 
@@ -108,17 +110,33 @@ def test_deterministic_compile_failure_is_persisted_as_marker(monkeypatch,
             raise RuntimeError("remote compile helper crash")
 
     assert memgate.analyzed_footprint("t_detfail", Boom()) is None
-    verdicts = memgate._load_verdicts()
-    key = [k for k in verdicts if k.startswith("t_detfail")]
-    assert key and verdicts[key[0]] == "compile_failed"
-    # a fresh process (cleared memo) maps the marker back to None
-    memgate._MEMO.clear()
-    assert memgate.analyzed_footprint("t_detfail", Boom) is None
+    assert not any(k.startswith("t_detfail")
+                   for k in memgate._load_verdicts())
+    # but successes ARE persisted
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    assert memgate.analyzed_footprint("t_ok", f, x) is not None
+    good = memgate._load_verdicts()
+    assert any(k.startswith("t_ok") and isinstance(v, int)
+               for k, v in good.items())
 
 
-def test_legacy_null_verdict_triggers_reprobe(monkeypatch, tmp_path):
-    """Old-schema null verdicts (transient faults persisted by the previous
-    code) must be treated as absent: the graph gets re-probed."""
+def test_compile_helper_crash_with_remote_compile_is_not_dead_client():
+    """An UNAVAILABLE that mentions remote_compile is the compile helper
+    dying on an oversized buffer assignment — a property of the GRAPH; the
+    process continues by choosing a smaller one (round-4 observation)."""
+    exc = RuntimeError("UNAVAILABLE: remote_compile returned HTTP 500")
+    assert memgate._is_dead_client_error(exc) is False
+    # marker buried in the cause chain still counts as dead-client
+    outer = RuntimeError("compile probe failed")
+    outer.__cause__ = RuntimeError(
+        "UNAVAILABLE: TPU worker process crashed or restarted")
+    assert memgate._is_dead_client_error(outer) is True
+
+
+def test_legacy_failure_verdicts_trigger_reprobe(monkeypatch, tmp_path):
+    """Old-schema failure verdicts (null / 'compile_failed') must be treated
+    as absent: the graph gets re-probed."""
     import json
     import os
 
@@ -129,7 +147,7 @@ def test_legacy_null_verdict_triggers_reprobe(monkeypatch, tmp_path):
     key = memgate._fingerprint("t_legacy", (x,), {})
     os.makedirs(tmp_path, exist_ok=True)
     with open(memgate._verdict_path(), "w") as fh:
-        json.dump({key: None}, fh)
+        json.dump({key: None, key + "x": "compile_failed"}, fh)
     fp = memgate.analyzed_footprint("t_legacy", f, x)
     assert fp is not None and fp >= 0  # re-probed, not trusted as failed
 

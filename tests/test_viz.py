@@ -273,6 +273,14 @@ def test_mjpeg_mp4_roundtrip(tmp_path):
                 return (s, e)
         raise AssertionError(f"missing {name}")
 
+    # mvhd: spec-exact ISO 14496-12 v0 layout (100-byte payload; matrix at
+    # +36 starting 0x00010000) — a 2-byte reserved-field slip shifts the
+    # movie matrix and next_track_ID for every positional parser
+    mvhd_s, mvhd_e = child(data, top[b"moov"], b"mvhd")
+    assert mvhd_e - mvhd_s == 100
+    assert struct.unpack(">i", data[mvhd_s + 36:mvhd_s + 40])[0] == 0x00010000
+    assert struct.unpack(">I", data[mvhd_e - 4:mvhd_e])[0] == 2  # next track
+
     trak = child(data, top[b"moov"], b"trak")
     mdia = child(data, trak, b"mdia")
     minf = child(data, mdia, b"minf")
@@ -311,12 +319,10 @@ def test_mjpeg_mp4_roundtrip(tmp_path):
 
 
 def test_save_video_mp4_keeps_extension(tmp_path):
-    """Without ffmpeg the .mp4 request must still yield a .mp4 file (the
-    MJPEG-in-MP4 fallback), not a renamed .avi."""
+    """A .mp4 request must yield a .mp4 file even without ffmpeg (the
+    MJPEG-in-MP4 fallback) — never a renamed .avi."""
     frames = np.zeros((3, 16, 16, 3), np.uint8)
     out = save_video(tmp_path / "clip.mp4", frames, fps=12)
-    assert out.endswith(".mp4") or out.endswith(".avi")
-    # if the mp4 was written, it must be a parseable BMFF file
-    if out.endswith(".mp4"):
-        data = open(out, "rb").read()
-        assert data[4:8] == b"ftyp"
+    assert out.endswith(".mp4")
+    data = open(out, "rb").read()
+    assert data[4:8] == b"ftyp"
